@@ -1,0 +1,305 @@
+"""Functional JAX Llama-family decoder (covers Llama/Llama-2/vicuna-style
+models, GQA included).
+
+This is OUR transformer — the reference borrows HuggingFace's and surgically
+patches it (/root/reference/qeft/monkeypatch/ftllama_modeling.py); we instead
+own the forward, so quantization capture, reordering, packed execution, and
+sharding are plain function composition over a parameter pytree.
+
+Layout conventions:
+- dense linear weights are ``[K, N]`` (in-features first): ``y = x @ w``;
+  packed linears are `QLinearParams` (see ops/packing.py) — both dispatch
+  through `apply_linear`.
+- per-layer params are stacked on a leading axis and scanned
+  (`lax.scan` over blocks — one compiled block body regardless of depth).
+- the KV cache is static-shape ``[L, B, S_max, H_kv, Dh]``; decode writes at a
+  runtime position (the reference's FT static cache, ftllama_modeling.py:60-67,
+  without the CUDA x8 packing which is meaningless on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qeft_tpu.ops.packing import QLinearParams
+from qeft_tpu.ops.qlinear import qlinear_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    dtype: Any = jnp.bfloat16
+
+
+LLAMA_PRESETS: Dict[str, LlamaConfig] = {
+    "llama2-7b": LlamaConfig(),
+    "llama2-13b": LlamaConfig(
+        hidden_size=5120, intermediate_size=13824, num_layers=40, num_heads=40,
+        num_kv_heads=40,
+    ),
+    "llama2-70b": LlamaConfig(
+        hidden_size=8192, intermediate_size=28672, num_layers=80, num_heads=64,
+        num_kv_heads=8,
+    ),
+    "tiny": LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=64, max_position_embeddings=256,
+    ),
+    "tiny-v2": LlamaConfig(
+        vocab_size=512, hidden_size=512, intermediate_size=1024, num_layers=4,
+        num_heads=4, num_kv_heads=4, head_dim=128, max_position_embeddings=512,
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# params
+
+
+def init_params(cfg: LlamaConfig, key: jax.Array, dtype=None) -> Dict:
+    """Random-init parameter pytree (shape-faithful; used for tests/benchmarks
+    when real checkpoints are unavailable)."""
+    dtype = dtype or cfg.dtype
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    keys = jax.random.split(key, 10)
+
+    def lin(k, kin, kout):
+        return (jax.random.normal(k, (kin, kout), jnp.float32) * (kin**-0.5)).astype(dtype)
+
+    def stack(fn):
+        outs = [fn(jax.random.fold_in(keys[0], i)) for i in range(cfg.num_layers)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    def block(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "input_ln": jnp.ones((d,), dtype),
+            "post_ln": jnp.ones((d,), dtype),
+            "q": lin(ks[0], d, hq * dh),
+            "k": lin(ks[1], d, hkv * dh),
+            "v": lin(ks[2], d, hkv * dh),
+            "o": lin(ks[3], hq * dh, d),
+            "up": lin(ks[4], d, f),
+            "gate": lin(ks[5], d, f),
+            "down": lin(ks[6], f, d),
+        }
+
+    return {
+        "embed": (jax.random.normal(keys[1], (cfg.vocab_size, d), jnp.float32) * 0.02).astype(dtype),
+        "layers": stack(block),
+        "final_ln": jnp.ones((d,), dtype),
+        "lm_head": lin(keys[2], d, cfg.vocab_size),
+    }
+
+
+# ---------------------------------------------------------------------------
+# primitives
+
+
+def apply_linear(lin, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    if isinstance(lin, QLinearParams):
+        return qlinear_apply(x, lin, dtype=dtype)
+    return jnp.matmul(x.astype(lin.dtype), lin)
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def rope_tables(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables [..., Dh] for the given positions."""
+    dh = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., Dh/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate-half RoPE. x: [B, S, H, Dh]; cos/sin: [B?, S, Dh]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[..., None, :].astype(x.dtype)
+    s = sin[..., None, :].astype(x.dtype)
+    return x * c + rotated * s
+
+
+def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    if n_rep == 1:
+        return x
+    return jnp.repeat(x, n_rep, axis=2)  # [B, S, H_kv, Dh] -> [B, S, H, Dh]
+
+
+# ---------------------------------------------------------------------------
+# decoder block
+
+
+def llama_block(
+    blk: Dict,
+    x: jax.Array,
+    cfg: LlamaConfig,
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: Optional[jax.Array],
+    kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cache_pos: Optional[jax.Array] = None,
+    capture: bool = False,
+):
+    """One decoder block.
+
+    ``kv``: (k_cache, v_cache) each [B, S_max, H_kv, Dh]; when given, this
+    block's K/V are written at ``cache_pos`` and attention runs over the cache.
+    Returns (x_out, new_kv, captured-intermediates-or-None).
+    """
+    b, s, d = x.shape
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    dtype = x.dtype
+
+    h = rms_norm(x, blk["input_ln"], cfg.rms_norm_eps)
+    q = apply_linear(blk["q"], h, dtype).reshape(b, s, hq, dh)
+    k = apply_linear(blk["k"], h, dtype).reshape(b, s, hkv, dh)
+    v = apply_linear(blk["v"], h, dtype).reshape(b, s, hkv, dh)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if kv is not None:
+        k_cache, v_cache = kv
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, cache_pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, cache_pos, 0, 0))
+        k_all, v_all = k_cache, v_cache
+        new_kv = (k_cache, v_cache)
+    else:
+        k_all, v_all = k, v
+        new_kv = None
+
+    k_rep = _repeat_kv(k_all, hq // hkv)
+    v_rep = _repeat_kv(v_all, hq // hkv)
+
+    # [B, H, S_q, S_k]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_rep).astype(jnp.float32)
+    scores = scores * (dh**-0.5)
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_rep)
+    ctx = ctx.reshape(b, s, hq * dh)
+
+    attn_out = apply_linear(blk["o"], ctx, dtype)
+    x = x + attn_out
+
+    h2 = rms_norm(x, blk["post_ln"], cfg.rms_norm_eps)
+    up = apply_linear(blk["up"], h2, dtype)
+    gate = apply_linear(blk["gate"], h2, dtype)
+    act = jax.nn.silu(gate) * up
+    mlp_out = apply_linear(blk["down"], act, dtype)
+    x = x + mlp_out
+
+    captured = None
+    if capture:
+        # inputs to the four sequential quantization stages
+        # (reference main.py:107-128 captures these via forward hooks)
+        captured = {"qkv_in": h, "o_in": ctx, "ffn1_in": h2, "ffn2_in": act}
+    return x, new_kv, captured
+
+
+# ---------------------------------------------------------------------------
+# full model
+
+
+def _causal_mask(s: int, dtype=jnp.float32) -> jax.Array:
+    mask = jnp.triu(jnp.full((s, s), -jnp.inf, dtype), k=1)
+    return mask[None, None, :, :]
+
+
+def llama_forward(params: Dict, tokens: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    """Plain full-sequence forward -> logits [B, S, V] (no cache; PPL eval)."""
+    b, s = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0)
+    pos = jnp.arange(s)[None, :]
+    cos, sin = rope_tables(cfg, pos)
+    mask = _causal_mask(s)
+
+    def body(xc, blk):
+        out, _, _ = llama_block(blk, xc, cfg, cos, sin, mask)
+        return out, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    return apply_linear(params["lm_head"], x, x.dtype)
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
+    dtype = dtype or cfg.dtype
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def llama_prefill(params: Dict, tokens: jax.Array, cache: Dict, cfg: LlamaConfig):
+    """Prefill: fills cache[:, :, :S], returns (logits [B, S, V], cache)."""
+    b, s = tokens.shape
+    max_len = cache["k"].shape[2]
+    x = jnp.take(params["embed"], tokens, axis=0)
+    pos = jnp.arange(s)[None, :]
+    cos, sin = rope_tables(cfg, pos)
+    mask = jnp.concatenate(
+        [_causal_mask(s), jnp.full((1, 1, s, max_len - s), -jnp.inf)], axis=-1
+    )
+
+    def body(xc, inp):
+        blk, kc, vc = inp
+        out, (kc, vc), _ = llama_block(
+            blk, xc, cfg, cos, sin, mask, kv=(kc, vc), cache_pos=jnp.int32(0)
+        )
+        return out, (kc, vc)
+
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    logits = apply_linear(params["lm_head"], x, x.dtype)
+    return logits, {"k": ks, "v": vs}
+
+
+def llama_decode_step(
+    params: Dict, token: jax.Array, cache: Dict, pos: jax.Array, cfg: LlamaConfig
+):
+    """One decode step. token: [B, 1]; pos: scalar int32 (current length).
+
+    Returns (logits [B, V], new cache).
+    """
+    b = token.shape[0]
+    max_len = cache["k"].shape[2]
+    x = jnp.take(params["embed"], token, axis=0)  # [B, 1, D]
+    cos, sin = rope_tables(cfg, pos[None, None])
+    # attend to positions <= pos
+    valid = jnp.arange(max_len)[None, None, None, :] <= pos
+    mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
+
+    def body(xc, inp):
+        blk, kc, vc = inp
+        out, (kc, vc), _ = llama_block(
+            blk, xc, cfg, cos, sin, mask, kv=(kc, vc), cache_pos=pos
+        )
+        return out, (kc, vc)
+
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    logits = apply_linear(params["lm_head"], x, x.dtype)
+    return logits[:, 0, :], {"k": ks, "v": vs}

@@ -1,0 +1,176 @@
+"""TPU-native INT4 packing for the mixed-precision QuantizedLinear.
+
+Layout contract (the single source of truth — the Pallas kernels and the XLA
+fallback both unpack through `unpack_codes`):
+
+- Integer codes live in ``[K, N]`` orientation (K = in-features, N = out-features,
+  so activations multiply as ``y = x @ W``).
+- Two codes pack into one uint8 along K with **half-group striding**: within
+  each quantization group of ``g`` K-rows, packed row ``jj`` of the group holds
+  code ``gi*g + jj`` in the low nibble and code ``gi*g + g/2 + jj`` in the high
+  nibble.  Unpacking a group's packed tile ``[g/2, N]`` therefore yields the
+  two contiguous halves of the group with one shift+mask each — no element
+  interleaving, VPU-friendly, lane dimension (N) untouched and 128-aligned.
+- ``scales``/``scaled_zeros`` are ``[G, N]`` with ``G = K // g`` and
+  ``w = code * scale + scaled_zero`` (``scaled_zero = -zero*scale``, matching
+  the reference convention, /root/reference/qeft/qlinear.py:192-208).
+- The last ``r`` K-rows are the outlier ("weak") columns: their codes are set
+  to the zero-point so the dense INT4 product contributes exactly zero there
+  (reference qlinear.py:200-202); their full-precision values live in
+  ``oweight [r, N]`` — the contiguous trainable slab for WCT fine-tuning.
+
+This deliberately replaces the reference's AWQ tensor-core interleave
+(qlinear.py:81-121), which encodes CUDA ldmatrix/mma lane mapping and is
+meaningless on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QLinearParams:
+    """Parameter pytree of one packed mixed-precision linear."""
+
+    qweight: jax.Array  # uint8 [K//2, N]
+    scales: jax.Array  # [G, N]
+    scaled_zeros: jax.Array  # [G, N]
+    oweight: Optional[jax.Array]  # [r, N] or None
+    bias: Optional[jax.Array]  # [N] or None
+    reorder_ids: Optional[jax.Array]  # [K] int32 (o_proj dynamic reorder) or None
+    group_size: int = dataclasses.field(default=128)
+
+    @property
+    def in_features(self) -> int:
+        return self.qweight.shape[0] * 2
+
+    @property
+    def out_features(self) -> int:
+        return self.qweight.shape[1]
+
+    @property
+    def n_outlier(self) -> int:
+        return 0 if self.oweight is None else self.oweight.shape[0]
+
+    def tree_flatten(self):
+        children = (self.qweight, self.scales, self.scaled_zeros, self.oweight,
+                    self.bias, self.reorder_ids)
+        return children, (self.group_size,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, group_size=aux[0])
+
+
+def _resolve_group(k: int, group_size: int) -> int:
+    g = group_size if group_size > 0 else k
+    assert g % 2 == 0 and k % g == 0, (k, group_size)
+    return g
+
+
+def pack_codes(codes: jax.Array, group_size: int) -> jax.Array:
+    """[K, N] int codes (0..15) -> uint8 [K//2, N] per the half-group contract."""
+    k, n = codes.shape
+    g = _resolve_group(k, group_size)
+    c = codes.reshape(k // g, g, n)
+    lo = c[:, : g // 2, :].astype(jnp.uint8)
+    hi = c[:, g // 2 :, :].astype(jnp.uint8)
+    return (lo | (hi << 4)).reshape(k // 2, n)
+
+
+def unpack_codes(packed: jax.Array, group_size: int) -> jax.Array:
+    """uint8 [K//2, N] -> [K, N] int32 codes. Exact inverse of `pack_codes`."""
+    k2, n = packed.shape
+    k = k2 * 2
+    g = _resolve_group(k, group_size)
+    p = packed.reshape(k // g, g // 2, n)
+    lo = (p & 0xF).astype(jnp.int32)
+    hi = (p >> 4).astype(jnp.int32)
+    return jnp.concatenate([lo, hi], axis=1).reshape(k, n)
+
+
+def pack_layer(
+    w_fake_kn: jax.Array,
+    scale_group: jax.Array,
+    zero_group: jax.Array,
+    n_outlier: int,
+    group_size: int,
+    sym: bool = False,
+    bits: int = 4,
+    bias: Optional[jax.Array] = None,
+    reorder_ids: Optional[jax.Array] = None,
+    dtype=jnp.bfloat16,
+) -> QLinearParams:
+    """Pack one reordered fake-quantized layer into the TPU layout.
+
+    ``w_fake_kn``: [K, N] fake-quantized weight in the reordered (outliers-last
+    along K) layout.  ``scale_group``/``zero_group``: [N, G] per-out-channel
+    group params from GPTQ (note: quant-side orientation, transposed here).
+
+    Mirrors reference `QuantLinear.pack` (/root/reference/qeft/qlinear.py:180-215):
+    sym shifts zeros by 2^(bits-1); outlier rows' codes are overwritten with the
+    zero-point; scales/scaled_zeros transpose to [G, N].
+    """
+    k, n = w_fake_kn.shape
+    g = _resolve_group(k, group_size)
+    n_groups = k // g
+    assert scale_group.shape == (n, n_groups), (scale_group.shape, (n, n_groups))
+
+    zeros = zero_group.astype(jnp.float32)
+    if sym:
+        zeros = zeros + 2 ** (bits - 1)
+    scales = scale_group.astype(jnp.float32)  # [N, G]
+
+    w = w_fake_kn.astype(jnp.float32)
+    scales_kn = jnp.repeat(scales.T, g, axis=0)  # [K, N]
+    zeros_kn = jnp.repeat(zeros.T, g, axis=0)
+    codes = jnp.clip(jnp.round(w / scales_kn + zeros_kn), 0, 2**bits - 1).astype(
+        jnp.int32
+    )
+
+    if n_outlier > 0:
+        # dense matmul must contribute exactly 0 on outlier rows
+        out_zeros = zeros_kn[k - n_outlier :, :].astype(jnp.int32)
+        codes = codes.at[k - n_outlier :, :].set(out_zeros)
+
+    qweight = pack_codes(codes, group_size)
+    scaled_zeros = (-(zeros * scales)).T.astype(dtype)  # [G, N]
+    oweight = (
+        w_fake_kn[k - n_outlier :, :].astype(dtype) if n_outlier > 0 else None
+    )
+    return QLinearParams(
+        qweight=qweight,
+        scales=scales.T.astype(dtype),
+        scaled_zeros=scaled_zeros,
+        oweight=oweight,
+        bias=None if bias is None else bias.astype(dtype),
+        reorder_ids=reorder_ids,
+        group_size=group_size,
+    )
+
+
+def dequantize_weight(p: QLinearParams, dtype=jnp.bfloat16) -> jax.Array:
+    """Reconstruct the dense [K, N] weight (outlier rows dequantize to zero)."""
+    k = p.in_features
+    g = _resolve_group(k, p.group_size)
+    codes = unpack_codes(p.qweight, p.group_size).astype(jnp.float32)
+    scales = jnp.repeat(p.scales.astype(jnp.float32), g, axis=0)
+    szeros = jnp.repeat(p.scaled_zeros.astype(jnp.float32), g, axis=0)
+    return (codes * scales + szeros).astype(dtype)
+
+
+def pack_codes_np(codes: np.ndarray, group_size: int) -> np.ndarray:
+    """NumPy twin of `pack_codes` for host-side checkpoint tooling."""
+    k, n = codes.shape
+    g = group_size if group_size > 0 else k
+    c = codes.reshape(k // g, g, n)
+    lo = c[:, : g // 2, :].astype(np.uint8)
+    hi = c[:, g // 2 :, :].astype(np.uint8)
+    return (lo | (hi << 4)).reshape(k // 2, n)
