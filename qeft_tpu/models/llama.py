@@ -203,7 +203,12 @@ def llama_block(
     ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_rep)
     ctx = ctx.reshape(b, s, hq * dh)
 
-    attn_out = apply_linear(blk["o"], ctx, dtype)
+    # OGR: o_proj's input is in head order and cannot be statically permuted;
+    # reordered models carry a per-block gather (reference qlinear.py:273-275)
+    o_in = ctx
+    if "o_reorder" in blk:
+        o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
+    attn_out = apply_linear(blk["o"], o_in, dtype)
     x = x + attn_out
 
     h2 = rms_norm(x, blk["post_ln"], cfg.rms_norm_eps)

@@ -1,0 +1,449 @@
+"""End-to-end quantization pipelines over a functional model pytree.
+
+TPU-native re-design of the reference's three driver stages:
+
+- `extract_global_outidx` — OGR step 1 (reference extract_outidx.py:18-180):
+  stream blocks, accumulate normalized Hessian-diagonal sensitivity over the
+  residual-stream stages, take the global top-`target_rank` channel set.
+- `quantize_model` — layerwise GPTQ-OWQ reconstruction + optional global
+  reorder (reference main.py:18-193 + reorder.py:148-176).
+- `pack_model` — pack every quantized linear into the TPU layout
+  (reference quant.py:216-233 + qlinear.py:180-215).
+
+Where the reference uses forward hooks and in-place module surgery, we use the
+model's `capture` mode and pytree updates: each decoder block is a pure
+function, so "hooks" are just returned intermediates, and Hessian accumulation
+is a jitted scan over calibration samples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qeft_tpu.models.llama import LlamaConfig, llama_block, rms_norm, rope_tables, _causal_mask, apply_linear
+from qeft_tpu.models.registry import ModelMeta
+from qeft_tpu.ops.packing import QLinearParams, pack_layer
+from qeft_tpu.quant.gptq import gptq_quantize, LayerQuantResult
+from qeft_tpu.quant.outliers import frob_norm_error, hessian_sort_ids
+from qeft_tpu.quant.quantizer import QuantSpec
+from qeft_tpu.quant.reorder import sparse_to_dense_ids
+
+
+@dataclasses.dataclass
+class QuantizeArgs:
+    """Mirrors the reference CLI surface (main.py:373-501) minus torch-isms."""
+
+    spec: QuantSpec = QuantSpec(bits=4, sym=False, mse=True, group_size=128)
+    target_rank: Optional[int] = 128
+    target_bit: Optional[float] = None
+    percdamp: float = 0.01
+    act_order: bool = False
+    no_frob_norm: bool = False
+    reorder: bool = True
+    rtn: bool = False  # nearest_owq
+    nsamples: int = 128
+    perhead: Optional[int] = None
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizerState:
+    """Per-layer quantization metadata carried into packing / checkpoints
+    (the reference stores this on Quantizer modules and pickles them as
+    'quantinfos', modelutils.py:248-268)."""
+
+    scale_group: jax.Array  # [OC, G] in reordered layout
+    zero_group: jax.Array  # [OC, G]
+    out_ids: jax.Array  # [n_out] sorted, original column order
+    sym: bool
+    bits: int
+    group_size: int
+
+    def tree_flatten(self):
+        return (self.scale_group, self.zero_group, self.out_ids), (
+            self.sym,
+            self.bits,
+            self.group_size,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, sym=aux[0], bits=aux[1], group_size=aux[2])
+
+
+# ---------------------------------------------------------------------------
+# calibration capture
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _embed_tokens(params, tokens, cfg: LlamaConfig):
+    return jnp.take(params["embed"], tokens, axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def block_hessians(blk, inps, cfg: LlamaConfig):
+    """Run one block over all calibration samples, accumulating the four
+    per-stage Hessian sums and the block outputs.
+
+    ``inps``: [n, S, D].  Returns (outs [n, S, D], {stage: H_sum}) where
+    H_sum = sum over samples/tokens of x x^T (caller scales by 2/nsamples).
+    """
+    n, s, d = inps.shape
+    pos = jnp.arange(s)[None, :]
+    cos, sin = rope_tables(cfg, pos)
+    mask = _causal_mask(s)
+
+    hd = cfg.num_heads * cfg.head_dim
+    f = cfg.intermediate_size
+
+    def step(carry, x):
+        h_qkv, h_o, h_ffn1, h_ffn2 = carry
+        out, _, cap = llama_block(blk, x[None], cfg, cos, sin, mask, capture=True)
+
+        def acc(h, a):
+            flat = a.reshape(-1, a.shape[-1]).astype(jnp.float32)
+            return h + jnp.matmul(
+                flat.T, flat, precision=jax.lax.Precision.HIGHEST
+            )
+
+        carry = (
+            acc(h_qkv, cap["qkv_in"]),
+            acc(h_o, cap["o_in"]),
+            acc(h_ffn1, cap["ffn1_in"]),
+            acc(h_ffn2, cap["ffn2_in"]),
+        )
+        return carry, out[0]
+
+    init = (
+        jnp.zeros((d, d), jnp.float32),
+        jnp.zeros((hd, hd), jnp.float32),
+        jnp.zeros((d, d), jnp.float32),
+        jnp.zeros((f, f), jnp.float32),
+    )
+    (h_qkv, h_o, h_ffn1, h_ffn2), outs = jax.lax.scan(step, init, inps)
+    return outs, {"qkv": h_qkv, "out": h_o, "ffn1": h_ffn1, "ffn2": h_ffn2}
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def block_forward_batch(blk, inps, cfg: LlamaConfig):
+    """Re-forward a (quantized) block over all samples (reference main.py:174-175)."""
+    n, s, d = inps.shape
+    pos = jnp.arange(s)[None, :]
+    cos, sin = rope_tables(cfg, pos)
+    mask = _causal_mask(s)
+
+    def step(_, x):
+        out, _, _ = llama_block(blk, x[None], cfg, cos, sin, mask)
+        return None, out[0]
+
+    _, outs = jax.lax.scan(step, None, inps)
+    return outs
+
+
+def _stage_of(meta: ModelMeta, name: str) -> str:
+    if name in meta.qkv:
+        return "qkv"
+    if name in meta.out:
+        return "out"
+    if name in meta.ffn1:
+        return "ffn1"
+    if name in meta.ffn2:
+        return "ffn2"
+    raise KeyError(name)
+
+
+def _n_out_dict(params, meta: ModelMeta, args: QuantizeArgs, cfg: LlamaConfig) -> Dict[str, int]:
+    """Per-layer outlier budget (reference main.py:76-95)."""
+    n_out = {l: 0 for l in meta.all_linears}
+    if args.target_bit is not None:
+        wbits = args.spec.bits
+        n_owq = len(meta.all_linears)
+        r = (12 / (16 - wbits)) * (args.target_bit - wbits) / n_owq
+        blk0 = jax.tree.map(lambda a: a[0], params["layers"])
+        for l in meta.all_linears:
+            k_in = blk0[l].shape[0]
+            n = round(k_in * r * meta.ratios[l])
+            if n % 2 == 1:
+                n += 1
+            n_out[l] = n
+    elif args.target_rank is not None:
+        for l in meta.all_linears:
+            n_out[l] = args.target_rank
+    return n_out
+
+
+# ---------------------------------------------------------------------------
+# OGR step 1: global outlier index extraction
+
+
+def extract_global_outidx(
+    params: Dict,
+    calib_tokens: np.ndarray,
+    cfg: LlamaConfig,
+    meta: ModelMeta,
+    args: QuantizeArgs,
+) -> Tuple[np.ndarray, Dict]:
+    """Accumulate residual-stream sensitivity over all blocks; return the
+    sorted global top-`target_rank` channels + per-layer out_ids.
+
+    Reference extract_outidx.py:103-179.  Each *layer* in the qkv/ffn1 stages
+    contributes H_diag/mean(H_diag) — q,k,v share one Hessian so the qkv stage
+    effectively contributes 3x (up/gate 2x), preserved here.
+    """
+    target_rank = args.target_rank
+    if args.perhead is not None:
+        target_rank = args.perhead * cfg.num_heads
+
+    tokens = jnp.asarray(calib_tokens)
+    inps = _embed_tokens(params, tokens, cfg)
+    n_layers = cfg.num_layers
+
+    sensitivity = jnp.zeros((cfg.hidden_size,), jnp.float32)
+    per_layer_out_ids = {}
+    n_out = _n_out_dict(params, meta, args, cfg)
+
+    for i in range(n_layers):
+        blk = jax.tree.map(lambda a: a[i], params["layers"])
+        outs, h_sums = block_hessians(blk, inps, cfg)
+        for stage, names in (("qkv", meta.qkv), ("ffn1", meta.ffn1)):
+            h_diag_base = jnp.diagonal(h_sums[stage]) * (2.0 / args.nsamples)
+            for name in names:
+                if args.no_frob_norm:
+                    h_diag = h_diag_base
+                else:
+                    w_nk = blk[name].T.astype(jnp.float32)  # [OC, IC]
+                    h_diag = h_diag_base * frob_norm_error(w_nk, args.spec, num=30)
+                _, out_ids = hessian_sort_ids(h_diag, n_out[name])
+                per_layer_out_ids[(i, name)] = np.asarray(out_ids)
+                sensitivity = sensitivity + h_diag / jnp.mean(h_diag)
+        inps = outs
+
+    _, top = jax.lax.top_k(sensitivity, target_rank)
+    outidx = np.sort(np.asarray(top))
+    return outidx.astype(np.int32), per_layer_out_ids
+
+
+# ---------------------------------------------------------------------------
+# layerwise GPTQ reconstruction
+
+
+def quantize_model(
+    params: Dict,
+    calib_tokens: np.ndarray,
+    cfg: LlamaConfig,
+    meta: ModelMeta,
+    args: QuantizeArgs,
+    outidx: Optional[np.ndarray] = None,
+) -> Tuple[Dict, Dict]:
+    """Layerwise GPTQ-OWQ over every decoder block (reference main.py:18-193).
+
+    Returns (new_params, quantizers).  With ``args.reorder`` the returned
+    params are globally reordered (OGR step 2) and each block carries
+    ``o_reorder`` ids for the runtime o_proj input gather.
+    """
+    if args.reorder:
+        assert outidx is not None, "global reorder needs the extracted outidx"
+    spec = args.spec
+    tokens = jnp.asarray(calib_tokens)
+    inps = _embed_tokens(params, tokens, cfg)
+    n_out = _n_out_dict(params, meta, args, cfg)
+    global_out = None if outidx is None else jnp.asarray(outidx, jnp.int32)
+
+    quantizers: Dict = {}
+    new_blocks = []
+    # MSE grid density per group re-fit: reference uses num=40 inside the GPTQ
+    # group loop (recon.py:540), num=1 in the RTN-reorder loop (recon.py:363),
+    # and the find_params default (100) for the single whole-row group
+    if args.rtn:
+        num_groups = 1
+    elif spec.group_size <= 0:
+        num_groups = 100
+    else:
+        num_groups = 40
+
+    for i in range(cfg.num_layers):
+        blk = jax.tree.map(lambda a: a[i], params["layers"])
+        _, h_sums = block_hessians(blk, inps, cfg)
+
+        new_blk = dict(blk)
+        for name in meta.all_linears:
+            stage = _stage_of(meta, name)
+            h = h_sums[stage] * (2.0 / args.nsamples)
+            w_nk = blk[name].T.astype(jnp.float32)  # [OC, IC]
+
+            is_global = args.reorder and name in meta.global_outlier_linears
+            # frob-norm weighting: with reorder only the per-layer stages use
+            # it (reference main.py:131); without reorder all layers do.
+            use_frob = not args.no_frob_norm and (not args.reorder or not is_global)
+            frob = frob_norm_error(w_nk, spec, num=40) if use_frob else None
+
+            h_diag = jnp.diagonal(h)
+            ids, out_ids = hessian_sort_ids(
+                h_diag,
+                n_out[name],
+                frob_norm=frob,
+                outidx=global_out if is_global else None,
+                actorder=args.act_order,
+            )
+            res: LayerQuantResult = gptq_quantize(
+                w_nk, h, spec, ids, out_ids,
+                percdamp=args.percdamp, num=num_groups, rtn=args.rtn,
+            )
+            new_blk[name] = res.w_fake.T.astype(blk[name].dtype)  # back to [K, N]
+            quantizers[(i, name)] = QuantizerState(
+                scale_group=res.scale_group,
+                zero_group=res.zero_group,
+                out_ids=res.out_ids,
+                sym=spec.sym,
+                bits=spec.bits,
+                group_size=spec.group_size,
+            )
+
+        # propagate quantized-block outputs to the next block
+        inps = block_forward_batch(new_blk, inps, cfg)
+        new_blocks.append(new_blk)
+
+    new_params = dict(params)
+    new_params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *new_blocks)
+
+    if args.reorder:
+        new_params = reorder_model(new_params, quantizers, global_out, cfg, meta)
+    return new_params, quantizers
+
+
+# ---------------------------------------------------------------------------
+# OGR step 2: global static reorder
+
+
+def reorder_model(
+    params: Dict,
+    quantizers: Dict,
+    global_out: jax.Array,
+    cfg: LlamaConfig,
+    meta: ModelMeta,
+) -> Dict:
+    """Statically permute the whole model so outlier channels are last.
+
+    Reference reorder.py:148-176 (make_reorder).  Permutations:
+    - residual stream (dim D): embed cols, final_ln, lm_head rows, per-block
+      lns, qkv/ffn1 input rows, o/ffn2 output cols — by the GLOBAL dense ids.
+    - MLP internal dim (F): ffn1 output cols + ffn2 input rows — by ffn2's
+      per-layer dense ids.
+    - o input (head space, dim H*Dh): statically permuted by o's per-layer
+      dense ids; the runtime input gather ids are stored as blk['o_reorder'].
+    RMSNorm models make the residual permutation exact (norm is elementwise
+    after a permutation-invariant reduction).
+    """
+    d = cfg.hidden_size
+    g_ids = sparse_to_dense_ids(global_out, d)  # [D]
+
+    new = dict(params)
+    new["embed"] = jnp.take(params["embed"], g_ids, axis=1)
+    new["final_ln"] = jnp.take(params["final_ln"], g_ids, axis=0)
+    new["lm_head"] = jnp.take(params["lm_head"], g_ids, axis=0)
+
+    new_blocks = []
+    for i in range(cfg.num_layers):
+        blk = {k: v[i] for k, v in params["layers"].items() if k != "o_reorder"}
+        nb = dict(blk)
+        # residual-stream inputs + norms
+        for name in meta.qkv + meta.ffn1:
+            nb[name] = jnp.take(blk[name], g_ids, axis=0)
+        for ln in meta.ln:
+            nb[ln] = jnp.take(blk[ln], g_ids, axis=0)
+
+        # o: static input permutation (head space) + runtime gather ids
+        (o_name,) = meta.out
+        o_state: QuantizerState = quantizers[(i, o_name)]
+        o_ids = sparse_to_dense_ids(o_state.out_ids, blk[o_name].shape[0])
+        nb[o_name] = jnp.take(blk[o_name], o_ids, axis=0)
+        nb["o_reorder"] = o_ids.astype(jnp.int32)
+        # o output cols -> global ids; its scale rows (out channels) too
+        nb[o_name] = jnp.take(nb[o_name], g_ids, axis=1)
+        _permute_state_rows(quantizers, (i, o_name), g_ids)
+
+        # MLP internal dim: ffn1 out cols / ffn2 in rows by ffn2's ids
+        (f2_name,) = meta.ffn2
+        f2_state: QuantizerState = quantizers[(i, f2_name)]
+        f_ids = sparse_to_dense_ids(f2_state.out_ids, blk[f2_name].shape[0])
+        for name in meta.ffn1:
+            nb[name] = jnp.take(nb[name], f_ids, axis=1)
+            _permute_state_rows(quantizers, (i, name), f_ids)
+        nb[f2_name] = jnp.take(blk[f2_name], f_ids, axis=0)
+        # ffn2 out cols -> global ids
+        nb[f2_name] = jnp.take(nb[f2_name], g_ids, axis=1)
+        _permute_state_rows(quantizers, (i, f2_name), g_ids)
+
+        new_blocks.append(nb)
+
+    new["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *new_blocks)
+    return new
+
+
+def _permute_state_rows(quantizers: Dict, key, ids: jax.Array):
+    st: QuantizerState = quantizers[key]
+    quantizers[key] = QuantizerState(
+        scale_group=jnp.take(st.scale_group, ids, axis=0),
+        zero_group=jnp.take(st.zero_group, ids, axis=0),
+        out_ids=st.out_ids,
+        sym=st.sym,
+        bits=st.bits,
+        group_size=st.group_size,
+    )
+
+
+# ---------------------------------------------------------------------------
+# packing
+
+
+def pack_model(
+    params: Dict,
+    quantizers: Dict,
+    cfg: LlamaConfig,
+    meta: ModelMeta,
+    dtype=jnp.bfloat16,
+) -> Dict:
+    """Swap every quantized linear for its packed QLinearParams.
+
+    ``params`` must be the REORDERED fake-quantized pytree from
+    `quantize_model(..., reorder=True)`: every quantized linear's K dim
+    already has its outliers contiguous at the end.
+    """
+    new = dict(params)
+    new["embed"] = params["embed"].astype(dtype)
+    new["final_ln"] = params["final_ln"].astype(dtype)
+    new["lm_head"] = params["lm_head"].astype(dtype)
+
+    new_blocks = []
+    for i in range(cfg.num_layers):
+        blk = {k: v[i] for k, v in params["layers"].items()}
+        nb = dict(blk)
+        for ln in meta.ln:
+            nb[ln] = blk[ln].astype(dtype)
+        for name in meta.all_linears:
+            st: QuantizerState = quantizers[(i, name)]
+            w_kn = blk[name]  # [K, N] reordered
+            k_in = w_kn.shape[0]
+            group = st.group_size if st.group_size > 0 else k_in
+            nb[name] = pack_layer(
+                w_kn,
+                st.scale_group,
+                st.zero_group,
+                n_outlier=int(st.out_ids.shape[0]),
+                group_size=group,
+                sym=st.sym,
+                bits=st.bits,
+                dtype=dtype,
+            )
+        new_blocks.append(nb)
+    # QLinearParams are registered pytrees: stacking descends into their
+    # array leaves, producing scan-ready [L, ...] stacked packed layers
+    new["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *new_blocks)
+    return new

@@ -1,0 +1,135 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qeft_tpu.models import LLAMA_PRESETS, init_params, llama_forward
+from qeft_tpu.models.registry import get_model_meta
+from qeft_tpu.pipeline import (
+    QuantizeArgs,
+    QuantizerState,
+    extract_global_outidx,
+    quantize_model,
+    reorder_model,
+    pack_model,
+)
+from qeft_tpu.quant.quantizer import QuantSpec
+
+CFG = LLAMA_PRESETS["tiny"]
+META = get_model_meta("llama")
+
+
+def setup(seed=0, nsamples=4, seqlen=32):
+    params = init_params(CFG, jax.random.PRNGKey(seed), dtype=jnp.float32)
+    rng = np.random.default_rng(seed)
+    calib = rng.integers(0, CFG.vocab_size, size=(nsamples, seqlen))
+    return params, calib
+
+
+def make_args(**kw):
+    base = dict(
+        spec=QuantSpec(bits=4, sym=False, mse=False, group_size=64),
+        target_rank=8,
+        no_frob_norm=True,
+        nsamples=4,
+    )
+    base.update(kw)
+    return QuantizeArgs(**base)
+
+
+def test_extract_outidx_shape_and_range():
+    params, calib = setup()
+    args = make_args()
+    outidx, per_layer = extract_global_outidx(params, calib, CFG, META, args)
+    assert outidx.shape == (8,)
+    assert np.all(np.diff(outidx) > 0)
+    assert outidx.min() >= 0 and outidx.max() < CFG.hidden_size
+    assert len(per_layer) == CFG.num_layers * len(META.qkv + META.ffn1)
+
+
+def test_reorder_is_exact_isomorphism():
+    """Global reorder of an UNQUANTIZED model must not change its function
+    (this is what makes OGR 'offline': reference reorder.py relies on it)."""
+    params, calib = setup()
+    rng = np.random.default_rng(1)
+    d, hd, f = CFG.hidden_size, CFG.num_heads * CFG.head_dim, CFG.intermediate_size
+    global_out = jnp.asarray(np.sort(rng.choice(d, size=8, replace=False)))
+
+    def dummy_state(k_in, n_out_dim, r):
+        out_ids = jnp.asarray(np.sort(rng.choice(k_in, size=r, replace=False)))
+        g = k_in // 64
+        return QuantizerState(
+            scale_group=jnp.ones((n_out_dim, g)),
+            zero_group=jnp.zeros((n_out_dim, g)),
+            out_ids=out_ids,
+            sym=False,
+            bits=4,
+            group_size=64,
+        )
+
+    quantizers = {}
+    for i in range(CFG.num_layers):
+        quantizers[(i, "o")] = dummy_state(hd, d, 4)
+        quantizers[(i, "down")] = dummy_state(f, d, 4)
+        for name in ("q", "k", "v"):
+            quantizers[(i, name)] = dummy_state(d, hd, 8)
+        for name in ("up", "gate"):
+            quantizers[(i, name)] = dummy_state(d, f, 8)
+
+    tokens = jnp.asarray(calib[:1])
+    logits_before = np.asarray(llama_forward(params, tokens, CFG))
+    reordered = reorder_model(params, quantizers, global_out, CFG, META)
+    assert "o_reorder" in reordered["layers"]
+    logits_after = np.asarray(llama_forward(reordered, tokens, CFG))
+    np.testing.assert_allclose(logits_after, logits_before, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("reorder", [True, False])
+def test_quantize_model_end_to_end(reorder):
+    params, calib = setup()
+    args = make_args(reorder=reorder)
+    outidx = None
+    if reorder:
+        outidx, _ = extract_global_outidx(params, calib, CFG, META, args)
+    qparams, quantizers = quantize_model(params, calib, CFG, META, args, outidx)
+
+    tokens = jnp.asarray(calib[:1])
+    logits_fp = np.asarray(llama_forward(params, tokens, CFG))
+    logits_q = np.asarray(llama_forward(qparams, tokens, CFG))
+    assert np.isfinite(logits_q).all()
+    # 4-bit + outliers on a tiny model: outputs correlated with fp
+    corr = np.corrcoef(logits_fp.ravel(), logits_q.ravel())[0, 1]
+    assert corr > 0.98, corr
+    assert len(quantizers) == CFG.num_layers * 7
+
+
+def test_fake_vs_packed_model_parity():
+    """Model-level correctness oracle (reference README.md:55-59): the packed
+    execution path must reproduce the fake-quant reconstruction."""
+    params, calib = setup()
+    args = make_args(reorder=True)
+    outidx, _ = extract_global_outidx(params, calib, CFG, META, args)
+    qparams, quantizers = quantize_model(params, calib, CFG, META, args, outidx)
+    packed = pack_model(qparams, quantizers, CFG, META, dtype=jnp.float32)
+
+    tokens = jnp.asarray(calib[:2])
+    logits_fake = np.asarray(llama_forward(qparams, tokens, CFG))
+    logits_packed = np.asarray(llama_forward(packed, tokens, CFG))
+    np.testing.assert_allclose(logits_packed, logits_fake, rtol=5e-3, atol=5e-3)
+
+
+def test_quantized_beats_nothing_sanity():
+    # RTN should be worse than (or equal to) GPTQ on the same setup
+    params, calib = setup()
+    tokens = jnp.asarray(calib[:2])
+    logits_fp = np.asarray(llama_forward(params, tokens, CFG))
+
+    def err(args):
+        outidx, _ = extract_global_outidx(params, calib, CFG, META, args)
+        qp, _ = quantize_model(params, calib, CFG, META, args, outidx)
+        lq = np.asarray(llama_forward(qp, tokens, CFG))
+        return float(np.mean((lq - logits_fp) ** 2))
+
+    e_gptq = err(make_args(reorder=True))
+    e_rtn = err(make_args(reorder=True, rtn=True))
+    assert e_gptq <= e_rtn * 1.05
