@@ -183,9 +183,13 @@ def llama_block(
 
     if kv is not None:
         k_cache, v_cache = kv
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, cache_pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, cache_pos, 0, 0))
-        k_all, v_all = k_cache, v_cache
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, cache_pos, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, cache_pos, 0, 0)
+        )
+        k_all, v_all = k_cache.astype(dtype), v_cache.astype(dtype)
         new_kv = (k_cache, v_cache)
     else:
         k_all, v_all = k, v

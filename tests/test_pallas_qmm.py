@@ -1,0 +1,54 @@
+"""Interpret-mode parity tests for the Pallas quantized matmul kernels.
+
+On CPU these run the same kernel bodies through the Pallas interpreter, so
+kernel-vs-XLA parity here transfers to compiled TPU execution (modulo Mosaic
+bugs, covered by the on-TPU benchmark)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qeft_tpu.ops.qlinear import qlinear_xla
+from qeft_tpu.ops.pallas_qmm import qgemv, qgemm
+from tests.test_packing import quantize_and_pack
+
+
+@pytest.mark.parametrize("tokens", [1, 4, 7])
+def test_qgemv_matches_xla(tokens):
+    _, res, dense_ids, p = quantize_and_pack(oc=128, ic=256, g=128, r=8)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(tokens, 256)).astype(np.float32))
+    y_ref = np.asarray(qlinear_xla(x, p, dtype=jnp.float32))
+    y_pal = np.asarray(qgemv(x, p, dtype=jnp.float32))
+    np.testing.assert_allclose(y_pal, y_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_qgemm_matches_xla():
+    _, res, dense_ids, p = quantize_and_pack(oc=128, ic=256, g=64, r=8)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 300, 256)).astype(np.float32))
+    y_ref = np.asarray(qlinear_xla(x, p, dtype=jnp.float32))
+    y_pal = np.asarray(qgemm(x, p, dtype=jnp.float32))
+    np.testing.assert_allclose(y_pal, y_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_qgemv_no_outliers():
+    _, res, dense_ids, p = quantize_and_pack(oc=128, ic=256, g=128, r=8)
+    # strip the outlier slab: dense-only packed linear
+    import dataclasses
+
+    p0 = dataclasses.replace(p, oweight=None)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(3, 256)).astype(np.float32))
+    y_ref = np.asarray(qlinear_xla(x, p0, dtype=jnp.float32))
+    y_pal = np.asarray(qgemv(x, p0, dtype=jnp.float32))
+    np.testing.assert_allclose(y_pal, y_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_qgemv_whole_row_group():
+    _, res, dense_ids, p = quantize_and_pack(oc=128, ic=128, g=-1, r=8)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 128)).astype(np.float32))
+    y_ref = np.asarray(qlinear_xla(x, p, dtype=jnp.float32))
+    y_pal = np.asarray(qgemv(x, p, dtype=jnp.float32))
+    np.testing.assert_allclose(y_pal, y_ref, rtol=2e-3, atol=2e-3)
