@@ -1,0 +1,80 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qeft_tpu.models import LLAMA_PRESETS, init_params, llama_forward
+from qeft_tpu.models.registry import get_model_meta
+from qeft_tpu.parallel import make_mesh, param_shardings, shard_params, cache_shardings
+
+CFG = LLAMA_PRESETS["tiny"]
+META = get_model_meta("llama")
+
+
+def test_mesh_creation():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh((2, 4))
+    assert mesh2.shape == {"dp": 2, "tp": 4}
+
+
+def test_sharded_dense_forward_matches_single_device():
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(2, 8)))
+
+    ref = np.asarray(llama_forward(params, tokens, CFG))
+
+    mesh = make_mesh((2, 4))
+    sharded = shard_params(params, mesh, META)
+    with jax.set_mesh(mesh):
+        out = np.asarray(jax.jit(llama_forward, static_argnames="cfg")(sharded, tokens, CFG))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_packed_forward_matches_single_device():
+    from qeft_tpu.pipeline import QuantizeArgs, extract_global_outidx, quantize_model, pack_model
+    from qeft_tpu.quant.quantizer import QuantSpec
+
+    params = init_params(CFG, jax.random.PRNGKey(1), dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    calib = rng.integers(0, CFG.vocab_size, size=(2, 16))
+    args = QuantizeArgs(
+        spec=QuantSpec(bits=4, sym=False, mse=False, group_size=64),
+        target_rank=8, no_frob_norm=True, nsamples=2,
+    )
+    outidx, _ = extract_global_outidx(params, calib, CFG, META, args)
+    qparams, quantizers = quantize_model(params, calib, CFG, META, args, outidx)
+    packed = pack_model(qparams, quantizers, CFG, META, dtype=jnp.float32)
+
+    tokens = jnp.asarray(calib[:1])
+    ref = np.asarray(llama_forward(packed, tokens, CFG))
+
+    mesh = make_mesh((1, 8))
+    sharded = shard_params(packed, mesh, META)
+    with jax.set_mesh(mesh):
+        out = np.asarray(jax.jit(llama_forward, static_argnames="cfg")(sharded, tokens, CFG))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_generation():
+    from qeft_tpu.generate import generate, SampleConfig
+    from qeft_tpu.models import init_kv_cache
+
+    params = init_params(CFG, jax.random.PRNGKey(2), dtype=jnp.float32)
+    prompt = jnp.zeros((2, 4), jnp.int32)
+
+    cache = init_kv_cache(CFG, 2, 16, dtype=jnp.float32)
+    ref, _ = generate(params, prompt, cache, CFG, 5, SampleConfig())
+
+    mesh = make_mesh((2, 4))
+    sharded = shard_params(params, mesh, META)
+    cache_sh = jax.device_put(
+        init_kv_cache(CFG, 2, 16, dtype=jnp.float32),
+        cache_shardings(mesh, batch=2, n_kv_heads=CFG.num_kv_heads),
+    )
+    with jax.set_mesh(mesh):
+        out, _ = generate(sharded, prompt, cache_sh, CFG, 5, SampleConfig())
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
