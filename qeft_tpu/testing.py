@@ -1,0 +1,54 @@
+"""Shape-faithful random model builders for benchmarks/compile checks.
+
+Decode throughput and compile validation don't depend on weight values, so
+these build packed models directly (skipping the minutes-long GPTQ pass)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from qeft_tpu.models.llama import LlamaConfig
+from qeft_tpu.ops.packing import QLinearParams
+
+
+def random_packed_linear(key, k, n, g=128, r=128) -> QLinearParams:
+    ks = jax.random.split(key, 4)
+    qweight = jax.random.randint(ks[0], (k // 2, n), 0, 256, jnp.int32).astype(jnp.uint8)
+    scales = (jax.random.uniform(ks[1], (k // g, n)) * 0.02 + 0.01).astype(jnp.bfloat16)
+    szeros = (-jax.random.uniform(ks[2], (k // g, n)) * 0.16).astype(jnp.bfloat16)
+    ow = (jax.random.normal(ks[3], (r, n)) * 0.02).astype(jnp.bfloat16)
+    return QLinearParams(
+        qweight=qweight, scales=scales, scaled_zeros=szeros, oweight=ow,
+        bias=None, reorder_ids=None, group_size=g,
+    )
+
+
+def build_packed_model(cfg: LlamaConfig, key, g=128, r=128):
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    hd = cfg.num_heads * cfg.head_dim
+    hkv = cfg.num_kv_heads * cfg.head_dim
+    keys = jax.random.split(key, 4)
+
+    def one(kk):
+        kks = jax.random.split(kk, 7)
+        return {
+            "input_ln": jnp.ones((d,), jnp.bfloat16),
+            "post_ln": jnp.ones((d,), jnp.bfloat16),
+            "q": random_packed_linear(kks[0], d, hd, g, r),
+            "k": random_packed_linear(kks[1], d, hkv, g, r),
+            "v": random_packed_linear(kks[2], d, hkv, g, r),
+            "o": random_packed_linear(kks[3], hd, d, g, r),
+            "up": random_packed_linear(kks[4], d, f, g, r),
+            "gate": random_packed_linear(kks[5], d, f, g, r),
+            "down": random_packed_linear(kks[6], f, d, g, r),
+            "o_reorder": jnp.arange(hd, dtype=jnp.int32),
+        }
+
+    blocks = [one(jax.random.fold_in(keys[1], i)) for i in range(cfg.num_layers)]
+    return {
+        "embed": (jax.random.normal(keys[0], (cfg.vocab_size, d)) * 0.02).astype(jnp.bfloat16),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "final_ln": jnp.ones((d,), jnp.bfloat16),
+        "lm_head": (jax.random.normal(keys[2], (d, cfg.vocab_size)) * 0.02).astype(jnp.bfloat16),
+    }
