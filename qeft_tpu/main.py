@@ -1,0 +1,141 @@
+"""CLI: quantize / evaluate / benchmark — the main driver.
+
+Mirrors the reference entry point (/root/reference/qeft/main.py:373-581):
+
+    # reconstruction + global reorder + packing
+    python -m qeft_tpu.main <model> <dataset> --wbits 4 --groupsize 128 \
+        --tuning mse --reorder --outidx_file outidx/w4_r128/outidx.npy \
+        --packing --save ckpt/model --eval
+
+    # load a packed checkpoint and benchmark decode
+    python -m qeft_tpu.main <model> <dataset> --load ckpt/model --benchmark 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from qeft_tpu.extract_outidx import (
+    add_common_quant_args,
+    build_quantize_args,
+    load_model_and_meta,
+)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    add_common_quant_args(parser)
+    parser.add_argument("--reorder", action="store_true")
+    parser.add_argument("--outidx_file", type=str, default=None)
+    parser.add_argument("--save", type=str, default="")
+    parser.add_argument("--load", type=str, default="")
+    parser.add_argument("--fake", action="store_true")
+    parser.add_argument("--packing", action="store_true")
+    parser.add_argument("--eval", action="store_true", help="PPL eval after quantize/load")
+    parser.add_argument("--eval_windows", type=int, default=0)
+    parser.add_argument("--benchmark", type=int, default=0)
+    parser.add_argument("--logfile", type=str, default="")
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from qeft_tpu.models.registry import get_model_meta
+
+    results = {}
+
+    if args.load:
+        from qeft_tpu.checkpoint import load_model as load_ckpt
+
+        params, cfg = load_ckpt(args.load)
+        meta = get_model_meta("llama")
+        quantizers = None
+    else:
+        params, cfg, meta = load_model_and_meta(args.model)
+        quantizers = None
+        if args.wbits < 16:
+            from qeft_tpu.data import get_calibration_tokens
+            from qeft_tpu.pipeline import quantize_model
+
+            if args.reorder:
+                if args.outidx_file is None:
+                    raise ValueError(
+                        "Need --outidx_file for global reordering. "
+                        "Run python -m qeft_tpu.extract_outidx first."
+                    )
+                outidx = np.load(args.outidx_file)
+            else:
+                outidx = None
+
+            seqlen = args.seqlen or min(cfg.max_position_embeddings, 2048)
+            calib = get_calibration_tokens(
+                args.dataset, args.nsamples, args.seed, seqlen,
+                model=args.model, vocab_size=cfg.vocab_size,
+            )
+            qargs = build_quantize_args(args)
+            qargs.reorder = args.reorder
+            tick = time.time()
+            params, quantizers = quantize_model(params, calib, cfg, meta, qargs, outidx)
+            results["quantize_time_s"] = round(time.time() - tick, 1)
+            print(f"Reconstruction done in {results['quantize_time_s']}s")
+
+    if args.save:
+        from qeft_tpu.checkpoint import save_fake, save_packed
+
+        if not (args.fake or args.packing):
+            raise ValueError("--save requires --fake and/or --packing")
+        if args.fake:
+            save_fake(args.save + "_fake", params, quantizers, cfg)
+            print(f"fake ckpt -> {args.save}_fake.npz")
+        if args.packing:
+            from qeft_tpu.pipeline import pack_model
+
+            packed = pack_model(params, quantizers, cfg, meta)
+            save_packed(args.save + "_packed", packed, cfg)
+            print(f"packed ckpt -> {args.save}_packed.npz")
+
+    if args.eval:
+        from qeft_tpu.data import get_loaders
+        from qeft_tpu.eval import eval_ppl
+
+        for ds in [args.dataset]:
+            test = get_loaders(ds, train=False, model=args.model, vocab_size=cfg.vocab_size)
+            seqlen = args.seqlen or min(cfg.max_position_embeddings, 2048)
+            ppl = eval_ppl(params, test, cfg, seqlen=seqlen, max_windows=args.eval_windows)
+            results[f"ppl_{ds}"] = round(ppl, 4)
+            print(f"{ds} ppl: {ppl:.4f}")
+
+    if args.benchmark:
+        import jax
+
+        from qeft_tpu.generate import SampleConfig, generate
+        from qeft_tpu.models.llama import init_kv_cache
+
+        ctx = 64
+        prompt = jnp.asarray(
+            np.random.default_rng(args.seed).integers(0, cfg.vocab_size, (1, ctx))
+        )
+        cache = init_kv_cache(cfg, 1, ctx + args.benchmark, dtype=jnp.bfloat16)
+        tokens, _ = generate(params, prompt, cache, cfg, args.benchmark, SampleConfig())
+        np.asarray(tokens)  # compile + run
+        tick = time.time()
+        tokens, _ = generate(params, prompt, cache, cfg, args.benchmark, SampleConfig())
+        np.asarray(tokens)
+        dt = time.time() - tick
+        results["decode_tokens_per_s"] = round(args.benchmark / dt, 2)
+        results["ms_per_token"] = round(dt / args.benchmark * 1e3, 2)
+        print(f"decode: {results['decode_tokens_per_s']} tokens/s "
+              f"({results['ms_per_token']} ms/token)")
+
+    if args.logfile:
+        with open(args.logfile, "a") as f:
+            f.write(json.dumps({"model": args.model, **vars(args), **results},
+                               default=str) + "\n")
+
+
+if __name__ == "__main__":
+    main()

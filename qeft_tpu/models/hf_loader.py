@@ -1,0 +1,108 @@
+"""Load HuggingFace Llama-family checkpoints into our parameter pytree.
+
+Replaces the reference's `get_hfmodel` (/root/reference/qeft/utils/modelutils.py:66-105),
+which loads a full torch model; we only need the tensors, so we read the
+safetensors shards directly (no torch, no init).  Dense linears transpose to
+our [K, N] (in-features-first) convention.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from qeft_tpu.models.llama import LlamaConfig
+
+_HF_LAYER_MAP = {
+    "q": "self_attn.q_proj",
+    "k": "self_attn.k_proj",
+    "v": "self_attn.v_proj",
+    "o": "self_attn.o_proj",
+    "up": "mlp.up_proj",
+    "gate": "mlp.gate_proj",
+    "down": "mlp.down_proj",
+}
+
+
+def config_from_hf(path: str) -> LlamaConfig:
+    with open(os.path.join(path, "config.json")) as f:
+        hc = json.load(f)
+    head_dim = hc.get("head_dim", hc["hidden_size"] // hc["num_attention_heads"])
+    return LlamaConfig(
+        vocab_size=hc["vocab_size"],
+        hidden_size=hc["hidden_size"],
+        intermediate_size=hc["intermediate_size"],
+        num_layers=hc["num_hidden_layers"],
+        num_heads=hc["num_attention_heads"],
+        num_kv_heads=hc.get("num_key_value_heads", hc["num_attention_heads"]),
+        head_dim=head_dim,
+        max_position_embeddings=hc.get("max_position_embeddings", 4096),
+        rms_norm_eps=hc.get("rms_norm_eps", 1e-5),
+        rope_theta=hc.get("rope_theta", 10000.0),
+    )
+
+
+def _open_shards(path: str):
+    from safetensors import safe_open
+
+    index_path = os.path.join(path, "model.safetensors.index.json")
+    tensors: Dict[str, Tuple[str, str]] = {}
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        files = sorted(set(index["weight_map"].values()))
+        key_to_file = index["weight_map"]
+    else:
+        files = ["model.safetensors"]
+        with safe_open(os.path.join(path, files[0]), framework="np") as f:
+            key_to_file = {k: files[0] for k in f.keys()}
+    return key_to_file, path
+
+
+def load_hf_llama(path: str, dtype=jnp.bfloat16) -> Tuple[Dict, LlamaConfig]:
+    from safetensors import safe_open
+
+    cfg = config_from_hf(path)
+    key_to_file, base = _open_shards(path)
+
+    handles = {}
+
+    def get(name: str) -> np.ndarray:
+        fname = key_to_file[name]
+        if fname not in handles:
+            handles[fname] = safe_open(os.path.join(base, fname), framework="np")
+        return handles[fname].get_tensor(name)
+
+    def lin(name: str):
+        # HF stores [out, in]; ours is [in, out]
+        return jnp.asarray(get(name).T, dtype=dtype)
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        pre = f"model.layers.{i}."
+        blk = {
+            "input_ln": jnp.asarray(get(pre + "input_layernorm.weight"), dtype=dtype),
+            "post_ln": jnp.asarray(
+                get(pre + "post_attention_layernorm.weight"), dtype=dtype
+            ),
+        }
+        for ours, theirs in _HF_LAYER_MAP.items():
+            blk[ours] = lin(pre + theirs + ".weight")
+        blocks.append(blk)
+
+    import jax
+
+    params = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype=dtype),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "final_ln": jnp.asarray(get("model.norm.weight"), dtype=dtype),
+    }
+    if "lm_head.weight" in key_to_file:
+        params["lm_head"] = lin("lm_head.weight")
+    else:  # tied embeddings
+        params["lm_head"] = params["embed"].T
+    return params, cfg

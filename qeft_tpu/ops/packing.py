@@ -5,12 +5,19 @@ fallback both unpack through `unpack_codes`):
 
 - Integer codes live in ``[K, N]`` orientation (K = in-features, N = out-features,
   so activations multiply as ``y = x @ W``).
-- Two codes pack into one uint8 along K with **half-group striding**: within
-  each quantization group of ``g`` K-rows, packed row ``jj`` of the group holds
-  code ``gi*g + jj`` in the low nibble and code ``gi*g + g/2 + jj`` in the high
-  nibble.  Unpacking a group's packed tile ``[g/2, N]`` therefore yields the
-  two contiguous halves of the group with one shift+mask each — no element
-  interleaving, VPU-friendly, lane dimension (N) untouched and 128-aligned.
+- Eight codes pack into one **int32** along K with **plane striding**: within
+  each quantization group of ``g`` K-rows (g % 8 == 0, plane height
+  ``h = g/8``), packed word ``jj`` of group ``gi`` holds code
+  ``gi*g + p*h + jj`` in nibble ``p``:
+
+      packed[gi*(g/8) + jj, n] = sum_p code[gi*g + p*h + jj, n] << 4p
+
+  Rationale: Mosaic TPU has no native sub-32-bit integer->float path (uint8
+  loads relayout through uint32, killing VPU throughput), but int32 shifts /
+  masks and int32->f32 converts are single native ops in 32-bit lanes.  Each
+  nibble plane unpacks with one shift+mask+convert, and planes are contiguous
+  K-slabs per group, so activations rearranged to plane-major order contract
+  against each plane in one big MXU dot — no element shuffles.
 - ``scales``/``scaled_zeros`` are ``[G, N]`` with ``G = K // g`` and
   ``w = code * scale + scaled_zero`` (``scaled_zero = -zero*scale``, matching
   the reference convention, /root/reference/qeft/qlinear.py:192-208).
@@ -39,7 +46,7 @@ import numpy as np
 class QLinearParams:
     """Parameter pytree of one packed mixed-precision linear."""
 
-    qweight: jax.Array  # uint8 [K//2, N]
+    qweight: jax.Array  # int32 [K//8, N]
     scales: jax.Array  # [G, N]
     scaled_zeros: jax.Array  # [G, N]
     oweight: Optional[jax.Array]  # [r, N] or None
@@ -49,15 +56,15 @@ class QLinearParams:
 
     @property
     def in_features(self) -> int:
-        return self.qweight.shape[0] * 2
+        return self.qweight.shape[-2] * 8
 
     @property
     def out_features(self) -> int:
-        return self.qweight.shape[1]
+        return self.qweight.shape[-1]
 
     @property
     def n_outlier(self) -> int:
-        return 0 if self.oweight is None else self.oweight.shape[0]
+        return 0 if self.oweight is None else self.oweight.shape[-2]
 
     def tree_flatten(self):
         children = (self.qweight, self.scales, self.scaled_zeros, self.oweight,
@@ -71,29 +78,45 @@ class QLinearParams:
 
 def _resolve_group(k: int, group_size: int) -> int:
     g = group_size if group_size > 0 else k
-    assert g % 2 == 0 and k % g == 0, (k, group_size)
+    assert g % 8 == 0 and k % g == 0, (k, group_size)
     return g
 
 
 def pack_codes(codes: jax.Array, group_size: int) -> jax.Array:
-    """[K, N] int codes (0..15) -> uint8 [K//2, N] per the half-group contract."""
+    """[K, N] int codes (0..15) -> int32 [K//8, N] per the plane contract."""
     k, n = codes.shape
     g = _resolve_group(k, group_size)
-    c = codes.reshape(k // g, g, n)
-    lo = c[:, : g // 2, :].astype(jnp.uint8)
-    hi = c[:, g // 2 :, :].astype(jnp.uint8)
-    return (lo | (hi << 4)).reshape(k // 2, n)
+    h = g // 8
+    c = codes.reshape(k // g, 8, h, n).astype(jnp.int32)  # [G, plane, h, N]
+    word = jnp.zeros((k // g, h, n), jnp.int32)
+    for p in range(8):
+        word = word | (c[:, p] << (4 * p))
+    return word.reshape(k // 8, n)
 
 
 def unpack_codes(packed: jax.Array, group_size: int) -> jax.Array:
-    """uint8 [K//2, N] -> [K, N] int32 codes. Exact inverse of `pack_codes`."""
-    k2, n = packed.shape
-    k = k2 * 2
+    """int32 [K//8, N] -> [K, N] int32 codes. Exact inverse of `pack_codes`."""
+    k8, n = packed.shape
+    k = k8 * 8
     g = _resolve_group(k, group_size)
-    p = packed.reshape(k // g, g // 2, n)
-    lo = (p & 0xF).astype(jnp.int32)
-    hi = (p >> 4).astype(jnp.int32)
-    return jnp.concatenate([lo, hi], axis=1).reshape(k, n)
+    h = g // 8
+    w = packed.reshape(k // g, h, n)
+    planes = [(w >> (4 * p)) & 0xF for p in range(8)]  # each [G, h, N]
+    return jnp.stack(planes, axis=1).reshape(k, n)
+
+
+def plane_order_activations(x2d: jax.Array, k: int, group_size: int) -> jax.Array:
+    """[M, K] activations -> plane-major order [M, K] matching `pack_codes`.
+
+    Row ``gi*g + p*h + jj`` of the weight pairs with output position
+    ``p*(K/8) + gi*h + jj`` so that plane ``p`` occupies the contiguous slice
+    ``[p*K/8, (p+1)*K/8)``.
+    """
+    m = x2d.shape[0]
+    g = _resolve_group(k, group_size)
+    h = g // 8
+    xg = x2d.reshape(m, k // g, 8, h)
+    return xg.transpose(0, 2, 1, 3).reshape(m, k)
 
 
 def pack_layer(
@@ -170,7 +193,9 @@ def pack_codes_np(codes: np.ndarray, group_size: int) -> np.ndarray:
     """NumPy twin of `pack_codes` for host-side checkpoint tooling."""
     k, n = codes.shape
     g = group_size if group_size > 0 else k
-    c = codes.reshape(k // g, g, n)
-    lo = c[:, : g // 2, :].astype(np.uint8)
-    hi = c[:, g // 2 :, :].astype(np.uint8)
-    return (lo | (hi << 4)).reshape(k // 2, n)
+    h = g // 8
+    c = codes.reshape(k // g, 8, h, n).astype(np.int64)
+    word = np.zeros((k // g, h, n), np.int64)
+    for p in range(8):
+        word |= c[:, p] << (4 * p)
+    return word.astype(np.int32).reshape(k // 8, n)

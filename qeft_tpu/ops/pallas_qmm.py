@@ -6,21 +6,22 @@ TPU-native replacements for the reference CUDA kernels:
 - `qgemm` <- gemm_4bit (prefill GEMM with on-the-fly dequant,
   /root/reference/qeft/kernel/quantization_new/gemm/gemm_cuda.cu)
 
-Design: the affine dequant is factored out of the contraction,
+Kernel contract (see ops/packing.py): weights pack 8 codes per int32 with
+plane striding, so nibble plane ``p`` of a weight tile is a contiguous K-slab
+per group.  Everything in the kernel stays in native 32-bit lanes:
 
-    y[b,n] = sum_g  s[g,n] * (x_g . q_g[:,n])  +  sz[g,n] * sum(x_g)
+    for p in 0..7:   (static unroll)
+        plane  = (qw >> 4p) & 0xF          # int32 shift+mask
+        w_p    = f32(plane) * scale        # native int32->f32, group broadcast
+        acc   += x_p @ bf16(w_p)           # one big MXU dot per plane
+    acc += sumx @ scaled_zeros             # zero-points via one small dot
 
-so the per-element work is one nibble unpack + one int->compute-dtype convert,
-and the contraction runs on the MXU with fp32 accumulation (exact: codes are
-<= 15).  The grid is (M_tiles, N_tiles, groups): packed weight tiles stream
-HBM->VMEM double-buffered by the pallas pipeline; a VMEM fp32 scratch
-accumulates across the sequential group dimension and writes out once.
-
-The half-group packed layout (ops/packing.py) means group ``gi`` of a weight
-is packed rows ``[gi*g/2, (gi+1)*g/2)``: unpacking is one mask and one shift
-per byte, the two nibble planes being the two contiguous halves of the group —
-no element shuffles (the TPU answer to the reference's AWQ interleave +
-`dequantize_s4_to_fp16x2` bit magic, qlinear.py:81-121).
+``x_p`` are the activations in plane-major order and ``sumx`` the per-group
+activation sums, both computed outside the kernel (tiny XLA ops).  No
+per-group small dots (MXU latency), no sub-32-bit integer relayouts (Mosaic
+has no native u8->f path), no dynamic indexing (Mosaic needs static sublane
+offsets).  Packed tiles stream HBM->VMEM in [K/8, BN] int32 bursts (1-3 MB),
+double-buffered across the N-tile grid by the pallas pipeline.
 
 The fp16 outlier ("weak column") slab contributes exactly zero through the
 dense path (its codes are the zero-points, packing.py), so its rank-r GEMM is
@@ -37,48 +38,40 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from qeft_tpu.ops.packing import QLinearParams
+from qeft_tpu.ops.packing import QLinearParams, plane_order_activations
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _qmm_kernel(x_ref, qw_ref, s_ref, sz_ref, out_ref, acc_ref, *, n_groups: int):
-    """One (m-tile, n-tile, group) grid step.
+def _qmm_kernel(
+    xpl_ref, sumx_ref, qw_ref, s_ref, sz_ref, out_ref, *, n_groups: int
+):
+    """One (m-tile, n-tile) grid step.
 
-    x_ref: [BM, g] — this group's slice of the activations
-    qw_ref: [g/2, BN] packed codes
-    s_ref/sz_ref: [1, 8, BN] — the 8-group band containing this group
-      (TPU block shapes need >=8 sublanes; the group's row is mask-selected)
-    acc_ref: [BM, BN] fp32 VMEM scratch, persists across the group dimension.
+    xpl: [BM, K] plane-major activations; sumx: [BM, Gp] group sums
+    qw: [K/8, BN] packed int32; s/sz: [Gp, BN]; out: [BM, BN].
     """
-    gi = pl.program_id(2)
+    cdtype = xpl_ref.dtype  # bf16 in production; fp32 in parity tests
+    k8, bn = qw_ref.shape  # k8 = K/8
+    h = k8 // n_groups  # plane height per group
 
-    @pl.when(gi == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    qw = qw_ref[:]
+    s3 = s_ref[:n_groups].astype(jnp.float32).reshape(n_groups, 1, bn)
 
-    cdtype = x_ref.dtype  # bf16 in production; fp32 in parity tests
-    g = x_ref.shape[1]
-    half = g // 2
+    acc = jnp.dot(
+        sumx_ref[:].astype(cdtype), sz_ref[:].astype(cdtype),
+        preferred_element_type=jnp.float32,
+    )
+    for p in range(8):
+        plane = (qw >> (4 * p)) & 0xF  # int32
+        wp = plane.astype(jnp.float32).reshape(n_groups, h, bn) * s3
+        wp = wp.reshape(k8, bn).astype(cdtype)
+        xp = xpl_ref[:, p * k8 : (p + 1) * k8]
+        acc += jnp.dot(xp, wp, preferred_element_type=jnp.float32)
 
-    x_g = x_ref[:]
-    qw = qw_ref[:].astype(jnp.int32)
-    lo = (qw & 0xF).astype(cdtype)
-    hi = (qw >> 4).astype(cdtype)
-    part = jnp.dot(x_g[:, :half], lo, preferred_element_type=jnp.float32)
-    part += jnp.dot(x_g[:, half:], hi, preferred_element_type=jnp.float32)
-    sumx = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)  # [BM, 1]
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == (gi % 8)
-    s = jnp.sum(s_ref[0].astype(jnp.float32) * row, axis=0)  # [BN]
-    sz = jnp.sum(sz_ref[0].astype(jnp.float32) * row, axis=0)
-    acc_ref[:] += part * s[None, :] + sumx * sz[None, :]
-
-    @pl.when(gi == n_groups - 1)
-    def _():
-        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def _run_qmm(x2d: jax.Array, p: QLinearParams, bm: int, bn: int, dtype) -> jax.Array:
@@ -86,49 +79,43 @@ def _run_qmm(x2d: jax.Array, p: QLinearParams, bm: int, bn: int, dtype) -> jax.A
     n = p.out_features
     g = p.group_size if p.group_size > 0 else k
     n_groups = k // g
-    grid = (-(-m // bm), n // bn, n_groups)
+    grid = (-(-m // bm), n // bn)
+
+    xpl = plane_order_activations(x2d, k, g)
+    sumx = jnp.sum(
+        x2d.reshape(m, n_groups, g).astype(jnp.float32), axis=2
+    ).astype(x2d.dtype)
+
+    # pad the group dim to a sublane-legal multiple of 8
+    gp = max(8, -(-n_groups // 8) * 8)
+    scales = jnp.pad(p.scales, ((0, gp - n_groups), (0, 0)))
+    szeros = jnp.pad(p.scaled_zeros, ((0, gp - n_groups), (0, 0)))
+    sumx = jnp.pad(sumx, ((0, 0), (0, gp - n_groups)))
 
     kernel = functools.partial(_qmm_kernel, n_groups=n_groups)
 
-    # scales as [G/8, 8, N] bands (sublane-legal blocks; row selected in-kernel)
-    g_pad = -(-n_groups // 8) * 8
-    scales = jnp.pad(p.scales, ((0, g_pad - n_groups), (0, 0))).reshape(
-        g_pad // 8, 8, n
-    )
-    szeros = jnp.pad(p.scaled_zeros, ((0, g_pad - n_groups), (0, 0))).reshape(
-        g_pad // 8, 8, n
-    )
-
     flops = 2 * m * k * n
-    bytes_accessed = k * n // 2 + m * k * 2 + m * n * 2 + 2 * n_groups * n * 2
+    bytes_accessed = k * n // 2 + 2 * m * k + m * n * 2 + 2 * gp * n * 2
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((grid[0] * bm, n), dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, g), lambda i, j, gi: (i, gi), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (g // 2, bn), lambda i, j, gi: (gi, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 8, bn), lambda i, j, gi: (gi // 8, 0, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 8, bn), lambda i, j, gi: (gi // 8, 0, j), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, gp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // 8, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gp, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gp, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (bm, bn), lambda i, j, gi: (i, j), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=_interpret(),
-    )(x2d, p.qweight, scales, szeros)
+    )(xpl, sumx, p.qweight, scales, szeros)
     return out[:m]
 
 
@@ -172,4 +159,4 @@ def qgemv(x: jax.Array, p: QLinearParams, dtype=jnp.bfloat16) -> jax.Array:
 
 def qgemm(x: jax.Array, p: QLinearParams, dtype=jnp.bfloat16) -> jax.Array:
     """Prefill/training path: many tokens, MXU bound."""
-    return _flatten_call(x, p, bm=256, bn=256, dtype=dtype)
+    return _flatten_call(x, p, bm=128, bn=256, dtype=dtype)

@@ -14,7 +14,9 @@ from qeft_tpu.ops.packing import QLinearParams
 
 def random_packed_linear(key, k, n, g=128, r=128) -> QLinearParams:
     ks = jax.random.split(key, 4)
-    qweight = jax.random.randint(ks[0], (k // 2, n), 0, 256, jnp.int32).astype(jnp.uint8)
+    qweight = jax.random.randint(
+        ks[0], (k // 8, n), jnp.iinfo(jnp.int32).min, jnp.iinfo(jnp.int32).max, jnp.int32
+    )
     scales = (jax.random.uniform(ks[1], (k // g, n)) * 0.02 + 0.01).astype(jnp.bfloat16)
     szeros = (-jax.random.uniform(ks[2], (k // g, n)) * 0.16).astype(jnp.bfloat16)
     ow = (jax.random.normal(ks[3], (r, n)) * 0.02).astype(jnp.bfloat16)

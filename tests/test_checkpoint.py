@@ -1,0 +1,93 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qeft_tpu.models import LLAMA_PRESETS, llama_forward
+from qeft_tpu.models.registry import get_model_meta
+from qeft_tpu.checkpoint import (
+    save_fake,
+    load_fake,
+    save_packed,
+    load_packed,
+    save_wct,
+    load_wct,
+    load_model,
+)
+from qeft_tpu.finetune import split_wct
+from tests.test_finetune import packed_tiny
+
+CFG = LLAMA_PRESETS["tiny"]
+META = get_model_meta("llama")
+
+
+def test_packed_roundtrip(tmp_path):
+    packed = packed_tiny()
+    path = str(tmp_path / "model_packed.npz")
+    save_packed(path, packed, CFG)
+    loaded, cfg = load_packed(path)
+    assert cfg == CFG
+
+    tokens = jnp.zeros((1, 4), jnp.int32)
+    ref = np.asarray(llama_forward(packed, tokens, CFG))
+    out = np.asarray(llama_forward(loaded, tokens, CFG))
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+def test_fake_roundtrip_and_repack(tmp_path):
+    from qeft_tpu.models import init_params
+    from qeft_tpu.pipeline import (
+        QuantizeArgs, extract_global_outidx, quantize_model, pack_model,
+    )
+    from qeft_tpu.quant.quantizer import QuantSpec
+
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    calib = rng.integers(0, CFG.vocab_size, size=(2, 16))
+    args = QuantizeArgs(
+        spec=QuantSpec(bits=4, sym=False, mse=False, group_size=64),
+        target_rank=8, no_frob_norm=True, nsamples=2,
+    )
+    outidx, _ = extract_global_outidx(params, calib, CFG, META, args)
+    qparams, quantizers = quantize_model(params, calib, CFG, META, args, outidx)
+
+    path = str(tmp_path / "model_fake.npz")
+    save_fake(path, qparams, quantizers, CFG)
+    lparams, lquant, cfg = load_fake(path)
+
+    tokens = jnp.zeros((1, 4), jnp.int32)
+    ref = np.asarray(llama_forward(qparams, tokens, CFG))
+    out = np.asarray(llama_forward(lparams, tokens, CFG))
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+    # packing from the reloaded fake ckpt == packing from memory
+    p1 = pack_model(qparams, quantizers, CFG, META, dtype=jnp.float32)
+    p2 = pack_model(lparams, lquant, CFG, META, dtype=jnp.float32)
+    o1 = np.asarray(llama_forward(p1, tokens, CFG))
+    o2 = np.asarray(llama_forward(p2, tokens, CFG))
+    np.testing.assert_allclose(o2, o1, rtol=1e-6)
+
+
+def test_wct_overlay(tmp_path):
+    packed = packed_tiny()
+    base = str(tmp_path / "base_packed.npz")
+    save_packed(base, packed, CFG)
+
+    ow, _ = split_wct(packed, META)
+    # simulate fine-tuning: shift one slab
+    ow = dict(ow)
+    ow["q"] = ow["q"] + 1.0
+    wct = str(tmp_path / "wct.npz")
+    save_wct(wct, ow, base)
+
+    loaded, cfg = load_wct(wct)
+    np.testing.assert_allclose(
+        np.asarray(loaded["layers"]["q"].oweight),
+        np.asarray(packed["layers"]["q"].oweight) + 1.0,
+        rtol=1e-3,
+    )
+    # dispatching loader resolves the format
+    loaded2, _ = load_model(wct)
+    np.testing.assert_allclose(
+        np.asarray(loaded2["layers"]["q"].oweight),
+        np.asarray(loaded["layers"]["q"].oweight),
+    )

@@ -13,7 +13,7 @@ def test_pack_unpack_roundtrip(k, n, g):
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 16, size=(k, n)).astype(np.int32)
     packed = pack_codes(jnp.asarray(codes), g)
-    assert packed.dtype == jnp.uint8 and packed.shape == (k // 2, n)
+    assert packed.dtype == jnp.int32 and packed.shape == (k // 8, n)
     back = unpack_codes(packed, g)
     np.testing.assert_array_equal(np.asarray(back), codes)
     # numpy twin agrees
