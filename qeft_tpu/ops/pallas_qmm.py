@@ -58,7 +58,17 @@ def _qmm_kernel(
     h = k8 // n_groups  # plane height per group
 
     qw = qw_ref[:]
-    s3 = s_ref[:n_groups].astype(jnp.float32).reshape(n_groups, 1, bn)
+    # expand group scales to one row per packed word via an MXU dot with a
+    # 0/1 expansion matrix: every op stays 2D (3D reshape-broadcasts send the
+    # Mosaic compiler into minutes-long relayout searches) and the expansion
+    # serves all 8 planes
+    gp = s_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 0) // h
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 1)
+    expand = (rows == cols).astype(jnp.float32)  # [K/8, Gp]
+    s_exp = jnp.dot(
+        expand, s_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
+    )
 
     acc = jnp.dot(
         sumx_ref[:].astype(cdtype), sz_ref[:].astype(cdtype),
@@ -66,8 +76,7 @@ def _qmm_kernel(
     )
     for p in range(8):
         plane = (qw >> (4 * p)) & 0xF  # int32
-        wp = plane.astype(jnp.float32).reshape(n_groups, h, bn) * s3
-        wp = wp.reshape(k8, bn).astype(cdtype)
+        wp = (plane.astype(jnp.float32) * s_exp).astype(cdtype)
         xp = xpl_ref[:, p * k8 : (p + 1) * k8]
         acc += jnp.dot(xp, wp, preferred_element_type=jnp.float32)
 

@@ -14,11 +14,23 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+import os
+
 from qeft_tpu.ops.packing import QLinearParams, dequantize_weight
 
 # tokens below this take the decode (matvec) kernel — reference uses 8
 # (qlinear.py:251-253)
 DECODE_MAX_TOKENS = 8
+
+# kernel-path override: "1"/"0" forces Pallas on/off; unset = auto (TPU only)
+_PALLAS_ENV = "QEFT_PALLAS"
+
+
+def pallas_enabled() -> bool:
+    v = os.environ.get(_PALLAS_ENV)
+    if v is not None:
+        return v not in ("0", "false", "off")
+    return jax.default_backend() == "tpu"
 
 
 def qlinear_xla(x: jax.Array, p: QLinearParams, dtype=jnp.bfloat16) -> jax.Array:
@@ -55,7 +67,7 @@ def qlinear_apply(
     for d in x.shape[:-1]:
         tokens *= d
 
-    if use_pallas and jax.default_backend() == "tpu":
+    if use_pallas and pallas_enabled():
         from qeft_tpu.ops import pallas_qmm
 
         if tokens < DECODE_MAX_TOKENS:

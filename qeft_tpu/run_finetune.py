@@ -1,0 +1,141 @@
+"""CLI: WCT fine-tuning driver.
+
+Mirrors the reference finetune entry point (/root/reference/qeft/finetune.py:761-1124):
+
+    python -m qeft_tpu.run_finetune --load ckpt/model_packed \
+        --dataset platypus --tokenizer <hf-dir> --output_dir runs/wct \
+        --max_steps 1000 --batch_size 4 --grad_accum 4
+
+Loads a packed checkpoint, trains ONLY the fp outlier slabs, saves
+oweight-only WCT checkpoints (with resume), logs metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def get_last_checkpoint(output_dir: str):
+    """Resume scan (reference finetune.py:747-759)."""
+    if not os.path.isdir(output_dir):
+        return None, 0
+    if os.path.exists(os.path.join(output_dir, "completed")):
+        print("training already finished (completed sentinel found)")
+        return "completed", 0
+    steps = []
+    for name in os.listdir(output_dir):
+        if name.startswith("wct_step") and name.endswith(".npz"):
+            steps.append(int(name[len("wct_step") : -len(".npz")]))
+    if not steps:
+        return None, 0
+    last = max(steps)
+    return os.path.join(output_dir, f"wct_step{last}.npz"), last
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--load", type=str, required=True, help="packed ckpt path")
+    parser.add_argument("--dataset", type=str, default="synthetic",
+                        choices=["synthetic", "platypus", "alpaca", "oasst1"])
+    parser.add_argument("--tokenizer", type=str, default=None)
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--max_steps", type=int, default=100)
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--grad_accum", type=int, default=1)
+    parser.add_argument("--learning_rate", type=float, default=2e-4)
+    parser.add_argument("--weight_decay", type=float, default=0.0)
+    parser.add_argument("--warmup_ratio", type=float, default=0.03)
+    parser.add_argument("--lr_schedule", type=str, default="cosine",
+                        choices=["cosine", "constant"])
+    parser.add_argument("--max_grad_norm", type=float, default=0.3)
+    parser.add_argument("--source_max_len", type=int, default=512)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--save_steps", type=int, default=50)
+    parser.add_argument("--log_steps", type=int, default=10)
+    parser.add_argument("--nsamples", type=int, default=None)
+    parser.add_argument("--no_remat", action="store_true")
+    parser.add_argument("--epochs", type=int, default=100)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from qeft_tpu.checkpoint import load_packed, save_wct, load_wct
+    from qeft_tpu.data.sft import batches, load_sft_examples
+    from qeft_tpu.finetune import (
+        TrainConfig, make_optimizer, make_train_step, split_wct,
+    )
+    from qeft_tpu.models.registry import get_model_meta
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    resume_path, start_step = get_last_checkpoint(args.output_dir)
+    if resume_path == "completed":
+        return
+
+    params, cfg = load_packed(args.load)
+    meta = get_model_meta("llama")
+    oweights, frozen = split_wct(params, meta)
+
+    if resume_path:
+        print(f"resuming from {resume_path} (step {start_step})")
+        resumed, _ = load_wct(resume_path)
+        ro, _ = split_wct(resumed, meta)
+        oweights = ro
+
+    tc = TrainConfig(
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        warmup_ratio=args.warmup_ratio,
+        total_steps=args.max_steps,
+        grad_accum=args.grad_accum,
+        max_grad_norm=args.max_grad_norm,
+        lr_schedule=args.lr_schedule,
+        remat=not args.no_remat,
+    )
+    opt = make_optimizer(tc)
+    opt_state = opt.init(oweights)
+    step_fn = make_train_step(cfg, opt, remat=tc.remat)
+
+    examples = load_sft_examples(
+        args.dataset, args.tokenizer, args.nsamples, cfg.vocab_size, args.seed
+    )
+    data = batches(
+        examples, args.batch_size, args.source_max_len, args.seed,
+        epochs=args.epochs,
+    )
+
+    metrics = []
+    t0 = time.time()
+    step = start_step
+    for batch in data:
+        if step >= args.max_steps:
+            break
+        ids = jnp.asarray(batch["input_ids"])
+        labels = jnp.asarray(batch["labels"])
+        oweights, opt_state, loss = step_fn(oweights, opt_state, frozen, ids, labels)
+        step += 1
+        if step % args.log_steps == 0 or step == 1:
+            loss_f = float(loss)
+            rate = step / max(time.time() - t0, 1e-9)
+            print(f"step {step}/{args.max_steps}  loss {loss_f:.4f}  ({rate:.2f} it/s)")
+            metrics.append({"step": step, "loss": loss_f})
+        if step % args.save_steps == 0:
+            save_wct(
+                os.path.join(args.output_dir, f"wct_step{step}"), oweights, args.load
+            )
+
+    save_wct(os.path.join(args.output_dir, "wct_final"), oweights, args.load)
+    with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    with open(os.path.join(args.output_dir, "completed"), "w") as f:
+        f.write("done\n")
+    print(f"WCT checkpoint -> {args.output_dir}/wct_final.npz")
+
+
+if __name__ == "__main__":
+    main()
