@@ -286,6 +286,38 @@ def llama_prefill(params: Dict, tokens: jax.Array, cache: Dict, cfg: LlamaConfig
     return logits, {"k": ks, "v": vs}
 
 
+def llama_forward_window(
+    params: Dict, tokens: jax.Array, cache: Dict, pos: jax.Array, cfg: LlamaConfig
+):
+    """Forward a WINDOW of tokens at offset ``pos`` through the cache.
+
+    tokens: [B, W]; query i sits at absolute position pos+i and attends cache
+    entries <= pos+i.  Generalizes prefill (pos=0) and single-token decode
+    (W=1); the speculative-decoding verify pass uses W=gamma+1.
+    Returns (logits [B, W, V], new cache).
+    """
+    b, w = tokens.shape
+    max_len = cache["k"].shape[2]
+    x = jnp.take(params["embed"], tokens, axis=0)
+    positions = pos + jnp.arange(w)[None, :]
+    cos, sin = rope_tables(cfg, positions)
+    key_pos = jnp.arange(max_len)[None, None, None, :]
+    query_pos = (pos + jnp.arange(w))[None, None, :, None]
+    mask = jnp.where(key_pos <= query_pos, 0.0, -jnp.inf).astype(jnp.float32)
+
+    def body(xc, inp):
+        blk, kc, vc = inp
+        out, (kc, vc), _ = llama_block(
+            blk, xc, cfg, cos, sin, mask, kv=(kc, vc), cache_pos=pos
+        )
+        return out, (kc, vc)
+
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    logits = apply_linear(params["lm_head"], x, x.dtype)
+    return logits, {"k": ks, "v": vs}
+
+
 def llama_decode_step(
     params: Dict, token: jax.Array, cache: Dict, pos: jax.Array, cfg: LlamaConfig
 ):

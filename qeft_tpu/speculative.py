@@ -1,0 +1,143 @@
+"""Speculative (assisted) decoding: draft-model candidates, single-pass target
+verification, KV rollback by position.
+
+Capability parity with the reference's `_assisted_decoding` monkeypatch
+(/root/reference/qeft/monkeypatch/ftllama_generate.py:357-639): a small draft
+model proposes ``gamma`` tokens, the target scores them in ONE windowed
+forward, the longest agreeing prefix is accepted plus one corrected token, and
+the static KV cache "rolls back" simply by not advancing ``pos`` past the
+accepted length (stale cache entries beyond ``pos`` are masked out — the same
+trick as the reference's ``start_pos`` reset, ftllama_generate.py:549-551).
+
+TPU-native: the whole propose-verify loop runs inside one jit
+(`lax.while_loop` over rounds, `lax.fori_loop` for the draft steps); per-round
+acceptance is a vectorized prefix computation, and the output buffer advances
+by a traced offset.  Greedy verification reproduces the target model's greedy
+output exactly (tested), matching the reference's do_sample=False path.
+Acceptance-rate / accept-length telemetry is returned like the reference's
+(ftllama_generate.py:539-541,635-636).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qeft_tpu.models.llama import (
+    LlamaConfig,
+    llama_decode_step,
+    llama_forward_window,
+    llama_prefill,
+)
+
+
+@partial(jax.jit, static_argnames=("cfg_t", "cfg_d", "max_new_tokens", "gamma"))
+def speculative_generate(
+    target_params: Dict,
+    draft_params: Dict,
+    prompt: jax.Array,  # [B=1, S]
+    t_cache: Dict,
+    d_cache: Dict,
+    cfg_t: LlamaConfig,
+    cfg_d: LlamaConfig,
+    max_new_tokens: int,
+    gamma: int = 4,
+) -> Tuple[jax.Array, Dict]:
+    """Greedy speculative decoding. Returns (tokens [1, max_new_tokens],
+    telemetry {rounds, accepted_total}).
+
+    The emitted sequence equals the target model's own greedy decode.
+    """
+    b, s_prompt = prompt.shape
+    assert b == 1, "speculative decoding is single-sequence (reference parity)"
+
+    t_logits, t_cache = llama_prefill(target_params, prompt, t_cache, cfg_t)
+    _, d_cache = llama_prefill(draft_params, prompt, d_cache, cfg_d)
+    first = jnp.argmax(t_logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+    out = jnp.zeros((b, max_new_tokens + gamma + 1), jnp.int32)
+    out = out.at[:, 0].set(first)
+
+    # carry: (out, n_done, t_pos, d_pos, t_cache, d_cache, rounds, accepted)
+    # positions: next token to generate sits at absolute position s_prompt + n_done
+    init = (out, jnp.int32(1), t_cache, d_cache, jnp.int32(0), jnp.int32(0))
+
+    def cond(carry):
+        _, n_done, *_ = carry
+        return n_done < max_new_tokens
+
+    def body(carry):
+        out, n_done, t_cache, d_cache, rounds, accepted = carry
+        last = jax.lax.dynamic_slice(out, (0, n_done - 1), (1, 1))  # [1,1]
+        base_pos = s_prompt + n_done - 1  # absolute position of `last`
+
+        # --- draft: gamma sequential decode steps
+        def draft_step(i, c):
+            cand, d_cache, cur = c
+            logits, d_cache = llama_decode_step(
+                draft_params, cur, d_cache, base_pos + i, cfg_d
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+            cand = jax.lax.dynamic_update_slice(cand, nxt, (0, i))
+            return cand, d_cache, nxt
+
+        cand = jnp.zeros((1, gamma), jnp.int32)
+        cand, d_cache, _ = jax.lax.fori_loop(
+            0, gamma, draft_step, (cand, d_cache, last)
+        )
+
+        # --- target: verify in ONE windowed forward over [last, cand]
+        # (gamma+1 positions so t_pred[gamma] provides the bonus token when
+        # every candidate is accepted)
+        window = jnp.concatenate([last, cand], axis=1)  # [1, gamma+1]
+        t_logits, t_cache = llama_forward_window(
+            target_params, window, t_cache, base_pos, cfg_t
+        )
+        t_pred = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)  # [1, gamma+1]
+
+        # longest agreeing prefix, then one corrected/bonus token
+        agree = cand == t_pred[:, :gamma]  # [1, gamma]
+        n_accept = jnp.argmin(
+            jnp.concatenate([agree, jnp.zeros((1, 1), bool)], axis=1)[0]
+        ).astype(jnp.int32)  # index of first disagreement (== #accepted)
+        emitted_len = n_accept + 1
+
+        # emitted tokens: cand[:n_accept] then t_pred[n_accept]
+        idx = jnp.arange(gamma + 1)
+        emit = jnp.where(
+            idx[None, :] < n_accept,
+            jnp.pad(cand, ((0, 0), (0, 1))),
+            jnp.take(t_pred, n_accept, axis=1)[:, None],
+        )
+        def write_one(i, o):
+            tok = jax.lax.dynamic_slice(emit, (0, i), (1, 1))
+            return jax.lax.cond(
+                i < emitted_len,
+                lambda oo: jax.lax.dynamic_update_slice(oo, tok, (0, n_done + i)),
+                lambda oo: oo,
+                o,
+            )
+
+        out = jax.lax.fori_loop(0, gamma + 1, write_one, out)
+        return (
+            out,
+            n_done + emitted_len,
+            t_cache,
+            d_cache,
+            rounds + 1,
+            accepted + n_accept,
+        )
+
+    out, n_done, t_cache, d_cache, rounds, accepted = jax.lax.while_loop(
+        cond, body, init
+    )
+    telemetry = {
+        "rounds": rounds,
+        "accepted_total": accepted,
+        "mean_accept_length": accepted.astype(jnp.float32)
+        / jnp.maximum(rounds.astype(jnp.float32), 1.0),
+    }
+    return out[:, :max_new_tokens], telemetry
