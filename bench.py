@@ -50,7 +50,8 @@ def streamed_bytes_per_token(params) -> int:
 def main():
     cfg = LLAMA_PRESETS["llama2-7b"]
     key = jax.random.PRNGKey(0)
-    params = build_packed_model(cfg, key)
+    # stage-fused packed layers (qkv / upgate): fewer, larger kernel calls
+    params = build_packed_model(cfg, key, fuse_stages=True)
     params = jax.device_put(params)
 
     prompt = jax.random.randint(key, (1, CTX), 0, cfg.vocab_size, jnp.int32)

@@ -61,8 +61,9 @@ def split_wct(packed_params: Dict, meta: ModelMeta) -> Tuple[Dict, Dict]:
     """(trainable oweights fp32, frozen rest). Reference `set_for_wct`."""
     oweights = {}
     frozen_layers = dict(packed_params["layers"])
-    for name in meta.all_linears:
-        lin: QLinearParams = packed_params["layers"][name]
+    for name, lin in packed_params["layers"].items():
+        if not isinstance(lin, QLinearParams):
+            continue  # norms, reorder ids
         if lin.oweight is not None:
             # explicit copy: the trainable buffer gets donated by train_step
             # and must not alias the packed model's slab

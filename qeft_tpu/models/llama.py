@@ -174,9 +174,17 @@ def llama_block(
     dtype = x.dtype
 
     h = rms_norm(x, blk["input_ln"], cfg.rms_norm_eps)
-    q = apply_linear(blk["q"], h, dtype).reshape(b, s, hq, dh)
-    k = apply_linear(blk["k"], h, dtype).reshape(b, s, hkv, dh)
-    v = apply_linear(blk["v"], h, dtype).reshape(b, s, hkv, dh)
+    if "qkv" in blk:
+        # stage-fused packed projection (valid because OGR gives every member
+        # of the qkv stage the same input permutation and group layout)
+        qkv = apply_linear(blk["qkv"], h, dtype)
+        q = qkv[..., : hq * dh].reshape(b, s, hq, dh)
+        k = qkv[..., hq * dh : (hq + hkv) * dh].reshape(b, s, hkv, dh)
+        v = qkv[..., (hq + hkv) * dh :].reshape(b, s, hkv, dh)
+    else:
+        q = apply_linear(blk["q"], h, dtype).reshape(b, s, hq, dh)
+        k = apply_linear(blk["k"], h, dtype).reshape(b, s, hkv, dh)
+        v = apply_linear(blk["v"], h, dtype).reshape(b, s, hkv, dh)
 
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
@@ -216,8 +224,13 @@ def llama_block(
     x = x + attn_out
 
     h2 = rms_norm(x, blk["post_ln"], cfg.rms_norm_eps)
-    up = apply_linear(blk["up"], h2, dtype)
-    gate = apply_linear(blk["gate"], h2, dtype)
+    if "upgate" in blk:
+        ug = apply_linear(blk["upgate"], h2, dtype)
+        f = ug.shape[-1] // 2
+        up, gate = ug[..., :f], ug[..., f:]
+    else:
+        up = apply_linear(blk["up"], h2, dtype)
+        gate = apply_linear(blk["gate"], h2, dtype)
     act = jax.nn.silu(gate) * up
     mlp_out = apply_linear(blk["down"], act, dtype)
     x = x + mlp_out

@@ -1,0 +1,149 @@
+"""Functional JAX OPT-family decoder (fc1/fc2 MLP, LayerNorm, learned
+positional embeddings).
+
+Covers the reference's OPT support (model_config.json:2-25; the reference
+reuses HF's modeling_opt).  Same conventions as models/llama.py: dense linears
+are [K, N], per-layer params stack on a leading axis and scan, packed linears
+are QLinearParams.  OGR reorder applies to OPT too: LayerNorm's mean
+subtraction is permutation-invariant, so the residual-stream permutation
+remains exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qeft_tpu.models.llama import _causal_mask, apply_linear
+from qeft_tpu.ops.packing import QLinearParams
+
+
+@dataclasses.dataclass(frozen=True)
+class OPTConfig:
+    vocab_size: int = 50272
+    hidden_size: int = 768
+    ffn_dim: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    max_position_embeddings: int = 2048
+    layer_norm_eps: float = 1e-5
+    do_layer_norm_before: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+OPT_PRESETS: Dict[str, OPTConfig] = {
+    "opt-125m": OPTConfig(),
+    "opt-1.3b": OPTConfig(hidden_size=2048, ffn_dim=8192, num_layers=24, num_heads=32),
+    "opt-6.7b": OPTConfig(hidden_size=4096, ffn_dim=16384, num_layers=32, num_heads=32),
+    "opt-tiny": OPTConfig(
+        vocab_size=256, hidden_size=128, ffn_dim=256, num_layers=2, num_heads=4,
+        max_position_embeddings=128,
+    ),
+}
+
+# OPT's learned positional embedding is queried at position+2 (HF convention)
+_POS_OFFSET = 2
+
+
+def init_params(cfg: OPTConfig, key: jax.Array, dtype=None) -> Dict:
+    dtype = dtype or cfg.dtype
+    d, f = cfg.hidden_size, cfg.ffn_dim
+    keys = jax.random.split(key, 8)
+
+    def lin(k, kin, kout):
+        return (jax.random.normal(k, (kin, kout), jnp.float32) * (kin**-0.5)).astype(dtype)
+
+    def block(k):
+        ks = jax.random.split(k, 6)
+        return {
+            "attn_ln": jnp.ones((d,), dtype),
+            "attn_ln_b": jnp.zeros((d,), dtype),
+            "final_ln": jnp.ones((d,), dtype),
+            "final_ln_b": jnp.zeros((d,), dtype),
+            "q": lin(ks[0], d, d),
+            "q_b": jnp.zeros((d,), dtype),
+            "k": lin(ks[1], d, d),
+            "k_b": jnp.zeros((d,), dtype),
+            "v": lin(ks[2], d, d),
+            "v_b": jnp.zeros((d,), dtype),
+            "o": lin(ks[3], d, d),
+            "o_b": jnp.zeros((d,), dtype),
+            "fc1": lin(ks[4], d, f),
+            "fc1_b": jnp.zeros((f,), dtype),
+            "fc2": lin(ks[5], f, d),
+            "fc2_b": jnp.zeros((d,), dtype),
+        }
+
+    blocks = [block(jax.random.fold_in(keys[0], i)) for i in range(cfg.num_layers)]
+    return {
+        "embed": (jax.random.normal(keys[1], (cfg.vocab_size, d), jnp.float32) * 0.02).astype(dtype),
+        "embed_pos": (
+            jax.random.normal(keys[2], (cfg.max_position_embeddings + _POS_OFFSET, d), jnp.float32)
+            * 0.02
+        ).astype(dtype),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "final_ln": jnp.ones((d,), dtype),
+        "final_ln_b": jnp.zeros((d,), dtype),
+        "lm_head": lin(keys[3], d, cfg.vocab_size),
+    }
+
+
+def layer_norm(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w + b
+
+
+def opt_block(blk, x, cfg: OPTConfig, mask):
+    b, s, d = x.shape
+    h, dh = cfg.num_heads, cfg.head_dim
+    dtype = x.dtype
+
+    res = x
+    if cfg.do_layer_norm_before:
+        x = layer_norm(x, blk["attn_ln"], blk["attn_ln_b"], cfg.layer_norm_eps)
+    q = (apply_linear(blk["q"], x, dtype) + blk["q_b"]).reshape(b, s, h, dh)
+    k = (apply_linear(blk["k"], x, dtype) + blk["k_b"]).reshape(b, s, h, dh)
+    v = (apply_linear(blk["v"], x, dtype) + blk["v_b"]).reshape(b, s, h, dh)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * (dh**-0.5)
+    scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, h * dh)
+    o_in = ctx
+    if "o_reorder" in blk:
+        o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
+    x = res + apply_linear(blk["o"], o_in, dtype) + blk["o_b"]
+    if not cfg.do_layer_norm_before:
+        x = layer_norm(x, blk["attn_ln"], blk["attn_ln_b"], cfg.layer_norm_eps)
+
+    res = x
+    if cfg.do_layer_norm_before:
+        x = layer_norm(x, blk["final_ln"], blk["final_ln_b"], cfg.layer_norm_eps)
+    h1 = jax.nn.relu(apply_linear(blk["fc1"], x, dtype) + blk["fc1_b"])
+    x = res + apply_linear(blk["fc2"], h1, dtype) + blk["fc2_b"]
+    if not cfg.do_layer_norm_before:
+        x = layer_norm(x, blk["final_ln"], blk["final_ln_b"], cfg.layer_norm_eps)
+    return x
+
+
+def opt_forward(params: Dict, tokens: jax.Array, cfg: OPTConfig) -> jax.Array:
+    b, s = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0)
+    pos = jnp.arange(s) + _POS_OFFSET
+    x = x + jnp.take(params["embed_pos"], pos, axis=0)[None]
+    mask = _causal_mask(s)
+
+    def body(xc, blk):
+        return opt_block(blk, xc, cfg, mask), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = layer_norm(x, params["final_ln"], params["final_ln_b"], cfg.layer_norm_eps)
+    return apply_linear(params["lm_head"], x, x.dtype)

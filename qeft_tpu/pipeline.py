@@ -403,18 +403,47 @@ def _permute_state_rows(quantizers: Dict, key, ids: jax.Array):
 # packing
 
 
+def _fuse_stage(nb: Dict, names, fused_name: str):
+    """Concatenate same-stage packed linears along N (valid under OGR: all
+    stage members share the input permutation and group layout)."""
+    import dataclasses as _dc
+
+    lins = [nb.pop(n) for n in names]
+    nb[fused_name] = _dc.replace(
+        lins[0],
+        qweight=jnp.concatenate([l.qweight for l in lins], axis=1),
+        scales=jnp.concatenate([l.scales for l in lins], axis=1),
+        scaled_zeros=jnp.concatenate([l.scaled_zeros for l in lins], axis=1),
+        oweight=(
+            jnp.concatenate([l.oweight for l in lins], axis=1)
+            if lins[0].oweight is not None
+            else None
+        ),
+        bias=(
+            jnp.concatenate([l.bias for l in lins], axis=0)
+            if lins[0].bias is not None
+            else None
+        ),
+    )
+
+
 def pack_model(
     params: Dict,
     quantizers: Dict,
     cfg: LlamaConfig,
     meta: ModelMeta,
     dtype=jnp.bfloat16,
+    fuse_stages: bool = False,
 ) -> Dict:
     """Swap every quantized linear for its packed QLinearParams.
 
     ``params`` must be the REORDERED fake-quantized pytree from
     `quantize_model(..., reorder=True)`: every quantized linear's K dim
     already has its outliers contiguous at the end.
+
+    ``fuse_stages``: concatenate q/k/v -> 'qkv' and up/gate -> 'upgate' into
+    single packed linears (fewer, larger kernel invocations; the model forward
+    splits the outputs).  Requires reorder (shared input permutations).
     """
     new = dict(params)
     new["embed"] = params["embed"].astype(dtype)
@@ -442,6 +471,11 @@ def pack_model(
                 bits=st.bits,
                 dtype=dtype,
             )
+        if fuse_stages:
+            if meta.family == "llama" and len(meta.qkv) == 3:
+                _fuse_stage(nb, meta.qkv, "qkv")
+            if len(meta.ffn1) == 2:
+                _fuse_stage(nb, meta.ffn1, "upgate")
         new_blocks.append(nb)
     # QLinearParams are registered pytrees: stacking descends into their
     # array leaves, producing scan-ready [L, ...] stacked packed layers

@@ -26,7 +26,7 @@ def random_packed_linear(key, k, n, g=128, r=128) -> QLinearParams:
     )
 
 
-def build_packed_model(cfg: LlamaConfig, key, g=128, r=128):
+def build_packed_model(cfg: LlamaConfig, key, g=128, r=128, fuse_stages=False):
     d, f = cfg.hidden_size, cfg.intermediate_size
     hd = cfg.num_heads * cfg.head_dim
     hkv = cfg.num_kv_heads * cfg.head_dim
@@ -34,18 +34,25 @@ def build_packed_model(cfg: LlamaConfig, key, g=128, r=128):
 
     def one(kk):
         kks = jax.random.split(kk, 7)
-        return {
+        blk = {
             "input_ln": jnp.ones((d,), jnp.bfloat16),
             "post_ln": jnp.ones((d,), jnp.bfloat16),
-            "q": random_packed_linear(kks[0], d, hd, g, r),
-            "k": random_packed_linear(kks[1], d, hkv, g, r),
-            "v": random_packed_linear(kks[2], d, hkv, g, r),
             "o": random_packed_linear(kks[3], hd, d, g, r),
-            "up": random_packed_linear(kks[4], d, f, g, r),
-            "gate": random_packed_linear(kks[5], d, f, g, r),
             "down": random_packed_linear(kks[6], f, d, g, r),
             "o_reorder": jnp.arange(hd, dtype=jnp.int32),
         }
+        if fuse_stages:
+            blk["qkv"] = random_packed_linear(kks[0], d, hd + 2 * hkv, g, r)
+            blk["upgate"] = random_packed_linear(kks[4], d, 2 * f, g, r)
+        else:
+            blk.update({
+                "q": random_packed_linear(kks[0], d, hd, g, r),
+                "k": random_packed_linear(kks[1], d, hkv, g, r),
+                "v": random_packed_linear(kks[2], d, hkv, g, r),
+                "up": random_packed_linear(kks[4], d, f, g, r),
+                "gate": random_packed_linear(kks[5], d, f, g, r),
+            })
+        return blk
 
     blocks = [one(jax.random.fold_in(keys[1], i)) for i in range(cfg.num_layers)]
     return {

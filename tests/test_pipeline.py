@@ -133,3 +133,19 @@ def test_quantized_beats_nothing_sanity():
     e_gptq = err(make_args(reorder=True))
     e_rtn = err(make_args(reorder=True, rtn=True))
     assert e_gptq <= e_rtn * 1.05
+
+
+def test_fused_stage_packing_matches_unfused():
+    params, calib = setup()
+    args = make_args(reorder=True)
+    outidx, _ = extract_global_outidx(params, calib, CFG, META, args)
+    qparams, quantizers = quantize_model(params, calib, CFG, META, args, outidx)
+    packed = pack_model(qparams, quantizers, CFG, META, dtype=jnp.float32)
+    fused = pack_model(qparams, quantizers, CFG, META, dtype=jnp.float32, fuse_stages=True)
+    assert "qkv" in fused["layers"] and "upgate" in fused["layers"]
+    assert "q" not in fused["layers"]
+
+    tokens = jnp.asarray(calib[:1])
+    a = np.asarray(llama_forward(packed, tokens, CFG))
+    b = np.asarray(llama_forward(fused, tokens, CFG))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
