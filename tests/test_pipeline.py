@@ -149,3 +149,15 @@ def test_fused_stage_packing_matches_unfused():
     a = np.asarray(llama_forward(packed, tokens, CFG))
     b = np.asarray(llama_forward(fused, tokens, CFG))
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+
+def test_true_sequential_runs_and_is_close():
+    params, calib = setup()
+    args = make_args(reorder=True, true_sequential=True)
+    outidx, _ = extract_global_outidx(params, calib, CFG, META, args)
+    qp, quant = quantize_model(params, calib, CFG, META, args, outidx)
+    tokens = jnp.asarray(calib[:1])
+    logits_fp = np.asarray(llama_forward(params, tokens, CFG))
+    logits_q = np.asarray(llama_forward(qp, tokens, CFG))
+    corr = np.corrcoef(logits_fp.ravel(), logits_q.ravel())[0, 1]
+    assert corr > 0.98, corr
