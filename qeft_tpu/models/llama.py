@@ -111,6 +111,15 @@ def init_params(cfg: LlamaConfig, key: jax.Array, dtype=None) -> Dict:
 # primitives
 
 
+def _pallas_attn_enabled() -> bool:
+    import os
+
+    v = os.environ.get("QEFT_PALLAS_ATTN")
+    if v is not None:
+        return v not in ("0", "false", "off")
+    return False  # default off until consistently faster than XLA on-device
+
+
 def apply_linear(lin, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     if isinstance(lin, QLinearParams):
         return qlinear_apply(x, lin, dtype=dtype)
@@ -203,17 +212,25 @@ def llama_block(
         k_all, v_all = k, v
         new_kv = None
 
-    k_rep = _repeat_kv(k_all, hq // hkv)
-    v_rep = _repeat_kv(v_all, hq // hkv)
+    if s == 1 and kv is not None and _pallas_attn_enabled():
+        # single-token decode: length-aware Pallas attention reads only the
+        # valid cache prefix (FT single_query_attention equivalent)
+        from qeft_tpu.ops.pallas_attention import decode_attention
 
-    # [B, H, S_q, S_k]
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_rep).astype(jnp.float32)
-    scores = scores * (dh**-0.5)
-    if mask is not None:
-        scores = scores + mask
-    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_rep)
-    ctx = ctx.reshape(b, s, hq * dh)
+        ctx = decode_attention(q[:, 0], k_all, v_all, cache_pos)
+        ctx = ctx.reshape(b, 1, hq * dh)
+    else:
+        k_rep = _repeat_kv(k_all, hq // hkv)
+        v_rep = _repeat_kv(v_all, hq // hkv)
+
+        # [B, H, S_q, S_k]
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_rep).astype(jnp.float32)
+        scores = scores * (dh**-0.5)
+        if mask is not None:
+            scores = scores + mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_rep)
+        ctx = ctx.reshape(b, s, hq * dh)
 
     # OGR: o_proj's input is in head order and cannot be statically permuted;
     # reordered models carry a per-block gather (reference qlinear.py:273-275)

@@ -49,3 +49,26 @@ def test_decode_attention_mha():
     )
     ref = reference_attention(q, k, v, 10)
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_model_decode_with_pallas_attention_matches(monkeypatch):
+    import jax
+    from qeft_tpu.models import LLAMA_PRESETS, init_params, init_kv_cache
+    from qeft_tpu.models.llama import llama_decode_step
+
+    cfg = LLAMA_PRESETS["tiny"]
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    tok = jnp.asarray([[5]])
+
+    # seed a few cache positions via decode steps on the default path
+    for i in range(4):
+        logits_ref, cache = llama_decode_step(params, tok, cache, jnp.int32(i), cfg)
+
+    monkeypatch.setenv("QEFT_PALLAS_ATTN", "1")
+    logits_pal, _ = llama_decode_step(params, tok, cache, jnp.int32(4), cfg)
+    monkeypatch.delenv("QEFT_PALLAS_ATTN")
+    logits_def, _ = llama_decode_step(params, tok, cache, jnp.int32(4), cfg)
+    np.testing.assert_allclose(
+        np.asarray(logits_pal), np.asarray(logits_def), rtol=2e-4, atol=2e-4
+    )
