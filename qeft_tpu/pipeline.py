@@ -53,6 +53,24 @@ class QuantizeArgs:
     perhead: Optional[int] = None
 
 
+def _block_at(layers, i, device=None):
+    """Slice block ``i`` out of the stacked layers pytree; works for both
+    device-resident jnp arrays and host-resident numpy arrays (the reference
+    streams blocks CPU<->GPU the same way, main.py:99,180)."""
+    blk = jax.tree.map(lambda a: a[i], layers)
+    if device is not None:
+        blk = jax.device_put(blk, device)
+    return blk
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda a: np.asarray(a), tree)
+
+
+def _stack_host(blocks):
+    return jax.tree.map(lambda *xs: np.stack(xs), *blocks)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QuantizerState:
@@ -84,8 +102,11 @@ class QuantizerState:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _embed_tokens(params, tokens, cfg: LlamaConfig):
-    return jnp.take(params["embed"], tokens, axis=0)
+def _embed_tokens(embed, tokens, cfg: LlamaConfig):
+    # takes only the embedding table (passing the whole params pytree into a
+    # jitted function would transfer every leaf to device — the rest of the
+    # model stays host-resident and streams per block)
+    return jnp.take(embed, tokens, axis=0)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -203,15 +224,16 @@ def extract_global_outidx(
         target_rank = args.perhead * cfg.num_heads
 
     tokens = jnp.asarray(calib_tokens)
-    inps = _embed_tokens(params, tokens, cfg)
+    inps = _embed_tokens(jnp.asarray(params["embed"]), tokens, cfg)
     n_layers = cfg.num_layers
 
     sensitivity = jnp.zeros((cfg.hidden_size,), jnp.float32)
     per_layer_out_ids = {}
     n_out = _n_out_dict(params, meta, args, cfg)
 
+    dev = jax.devices()[0] if jax.default_backend() != "cpu" else None
     for i in range(n_layers):
-        blk = jax.tree.map(lambda a: a[i], params["layers"])
+        blk = _block_at(params["layers"], i, dev)
         outs, h_sums = block_hessians(blk, inps, cfg)
         for stage, names in (("qkv", meta.qkv), ("ffn1", meta.ffn1)):
             h_diag_base = jnp.diagonal(h_sums[stage]) * (2.0 / args.nsamples)
@@ -253,7 +275,7 @@ def quantize_model(
         assert outidx is not None, "global reorder needs the extracted outidx"
     spec = args.spec
     tokens = jnp.asarray(calib_tokens)
-    inps = _embed_tokens(params, tokens, cfg)
+    inps = _embed_tokens(jnp.asarray(params["embed"]), tokens, cfg)
     n_out = _n_out_dict(params, meta, args, cfg)
     global_out = None if outidx is None else jnp.asarray(outidx, jnp.int32)
 
@@ -278,8 +300,12 @@ def quantize_model(
         else [meta.all_linears]
     )
 
+    # layer streaming: the full model never needs to fit on device (reference
+    # streams blocks CPU<->GPU, main.py:99,180); results land host-side
+    dev = jax.devices()[0] if jax.default_backend() != "cpu" else None
+
     for i in range(cfg.num_layers):
-        blk = jax.tree.map(lambda a: a[i], params["layers"])
+        blk = _block_at(params["layers"], i, dev)
 
         new_blk = dict(blk)
         h_sums = None
@@ -287,8 +313,7 @@ def quantize_model(
             # recompute Hessians against the partially-quantized block
             if args.true_sequential or h_sums is None:
                 _, h_sums = block_hessians(new_blk, inps, cfg)
-            _quantize_stage_names = stage_names
-            for name in _quantize_stage_names:
+            for name in stage_names:
                 _quantize_one(
                     name, blk, new_blk, h_sums, quantizers, i, meta, args,
                     global_out, n_out, num_groups, spec,
@@ -296,13 +321,25 @@ def quantize_model(
 
         # propagate quantized-block outputs to the next block
         inps = block_forward_batch(new_blk, inps, cfg)
-        new_blocks.append(new_blk)
+        new_blocks.append(_to_host(new_blk) if dev is not None else new_blk)
+        if dev is not None:
+            for name in meta.all_linears:  # move this block's states host-side
+                quantizers[(i, name)] = _to_host(quantizers[(i, name)])
 
+    stack = _stack_host if dev is not None else (
+        lambda blocks: jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    )
     new_params = dict(params)
-    new_params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *new_blocks)
+    new_params["layers"] = stack(new_blocks)
 
     if args.reorder:
-        new_params = reorder_model(new_params, quantizers, global_out, cfg, meta)
+        if dev is not None:
+            # permutation pass on host memory
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                new_params = reorder_model(new_params, quantizers, global_out, cfg, meta)
+                new_params = _to_host(new_params)
+        else:
+            new_params = reorder_model(new_params, quantizers, global_out, cfg, meta)
     return new_params, quantizers
 
 
@@ -478,8 +515,9 @@ def pack_model(
     new["lm_head"] = params["lm_head"].astype(dtype)
 
     new_blocks = []
+    dev = jax.devices()[0] if jax.default_backend() != "cpu" else None
     for i in range(cfg.num_layers):
-        blk = {k: v[i] for k, v in params["layers"].items()}
+        blk = _block_at(params["layers"], i, dev)
         nb = dict(blk)
         for ln in meta.ln:
             nb[ln] = blk[ln].astype(dtype)
@@ -503,8 +541,12 @@ def pack_model(
                 _fuse_stage(nb, meta.qkv, "qkv")
             if len(meta.ffn1) == 2:
                 _fuse_stage(nb, meta.ffn1, "upgate")
-        new_blocks.append(nb)
+        new_blocks.append(_to_host(nb) if dev is not None else nb)
     # QLinearParams are registered pytrees: stacking descends into their
     # array leaves, producing scan-ready [L, ...] stacked packed layers
-    new["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *new_blocks)
+    # (host-resident when streaming; device_put the result before serving)
+    stack = _stack_host if dev is not None else (
+        lambda blocks: jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    )
+    new["layers"] = stack(new_blocks)
     return new
