@@ -348,6 +348,76 @@ def llama_forward_window(
     return logits, {"k": ks, "v": vs}
 
 
+def llama_decode_step_ragged(
+    params: Dict, tokens: jax.Array, cache: Dict, pos: jax.Array, cfg: LlamaConfig
+):
+    """Batched decode with PER-SEQUENCE positions (continuous batching).
+
+    tokens: [B, 1]; pos: [B] int32 — each sequence writes its KV at its own
+    position and attends its own prefix.  This is the ragged decode primitive
+    the serving engine batches heterogeneous requests with (no analogue in the
+    reference, which is single-sequence).
+    """
+    b = tokens.shape[0]
+    max_len = cache["k"].shape[2]
+    x = jnp.take(params["embed"], tokens, axis=0)  # [B, 1, D]
+    cos, sin = rope_tables(cfg, pos[:, None])  # [B, 1, Dh]
+    valid = jnp.arange(max_len)[None, None, None, :] <= pos[:, None, None, None]
+    mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)  # [B,1,1,S]
+
+    def write_at(cache_l, new):
+        # per-sequence scatter: vmap a length-1 dynamic update over the batch
+        def one(c, n, p):
+            return jax.lax.dynamic_update_slice(c, n, (p, 0, 0))
+
+        return jax.vmap(one)(cache_l, new, pos)
+
+    def body(xc, inp):
+        blk, kc, vc = inp
+        # inline block with ragged cache write
+        hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        dtype = xc.dtype
+        h = rms_norm(xc, blk["input_ln"], cfg.rms_norm_eps)
+        if "qkv" in blk:
+            qkv = apply_linear(blk["qkv"], h, dtype)
+            q = qkv[..., : hq * dh].reshape(b, 1, hq, dh)
+            k = qkv[..., hq * dh : (hq + hkv) * dh].reshape(b, 1, hkv, dh)
+            v = qkv[..., (hq + hkv) * dh :].reshape(b, 1, hkv, dh)
+        else:
+            q = apply_linear(blk["q"], h, dtype).reshape(b, 1, hq, dh)
+            k = apply_linear(blk["k"], h, dtype).reshape(b, 1, hkv, dh)
+            v = apply_linear(blk["v"], h, dtype).reshape(b, 1, hkv, dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kc = write_at(kc, k.astype(kc.dtype))
+        vc = write_at(vc, v.astype(vc.dtype))
+        k_rep = _repeat_kv(kc.astype(dtype), hq // hkv)
+        v_rep = _repeat_kv(vc.astype(dtype), hq // hkv)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_rep).astype(jnp.float32)
+        scores = scores * (dh**-0.5) + mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_rep).reshape(b, 1, hq * dh)
+        o_in = ctx
+        if "o_reorder" in blk:
+            o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
+        xc = xc + apply_linear(blk["o"], o_in, dtype)
+        h2 = rms_norm(xc, blk["post_ln"], cfg.rms_norm_eps)
+        if "upgate" in blk:
+            ug = apply_linear(blk["upgate"], h2, dtype)
+            f = ug.shape[-1] // 2
+            up, gate = ug[..., :f], ug[..., f:]
+        else:
+            up = apply_linear(blk["up"], h2, dtype)
+            gate = apply_linear(blk["gate"], h2, dtype)
+        xc = xc + apply_linear(blk["down"], jax.nn.silu(gate) * up, dtype)
+        return xc, (kc, vc)
+
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    logits = apply_linear(params["lm_head"], x, x.dtype)
+    return logits[:, 0, :], {"k": ks, "v": vs}
+
+
 def llama_decode_step(
     params: Dict, token: jax.Array, cache: Dict, pos: jax.Array, cfg: LlamaConfig
 ):

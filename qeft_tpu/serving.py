@@ -1,0 +1,144 @@
+"""Continuous-batching serving engine over the ragged decode primitive.
+
+A NEW capability relative to the reference (whose generation is strictly
+single-sequence, monkeypatch/ftllama_generate.py): requests join a fixed-size
+batch as slots free up, each sequence decodes at its own position against its
+own KV-cache slot, finished sequences (EOS or max tokens) retire immediately
+and their slots are refilled — the device never idles on stragglers.
+
+Host side: a simple queue + slot map.  Device side: one jitted ragged decode
+step (llama_decode_step_ragged) over the whole batch; prefill runs per-request
+in its slot via the windowed forward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qeft_tpu.models.llama import (
+    LlamaConfig,
+    init_kv_cache,
+    llama_decode_step_ragged,
+    llama_forward_window,
+)
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    prompt: np.ndarray  # [S]
+    max_new_tokens: int
+    output: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prefill_slot(params, prompt, slot_cache, cfg: LlamaConfig):
+    """Prefill ONE request into its batch slot (window forward, batch 1)."""
+    logits, new_slot = llama_forward_window(
+        params, prompt, slot_cache, jnp.int32(0), cfg
+    )
+    return logits[:, -1, :], new_slot
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _decode_batch(params, tokens, cache, pos, cfg: LlamaConfig):
+    logits, cache = llama_decode_step_ragged(params, tokens, cache, pos, cfg)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+
+class Engine:
+    """Greedy continuous-batching engine (single host, single or sharded chip)."""
+
+    def __init__(
+        self,
+        params: Dict,
+        cfg: LlamaConfig,
+        max_batch: int = 8,
+        max_len: int = 2048,
+        eos_id: Optional[int] = None,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.eos_id = eos_id
+        self.cache = init_kv_cache(cfg, max_batch, max_len, dtype=cache_dtype)
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self.pos = np.zeros((max_batch,), np.int32)
+        self.cur_token = np.zeros((max_batch, 1), np.int32)
+        self.queue: List[Request] = []
+        self.finished: List[Request] = []
+
+    def submit(self, req: Request):
+        self.queue.append(req)
+
+    def _admit(self):
+        for slot in range(self.max_batch):
+            if self.slots[slot] is None and self.queue:
+                req = self.queue.pop(0)
+                prompt = jnp.asarray(req.prompt[None, :])
+                slot_cache = {
+                    "k": self.cache["k"][:, slot : slot + 1],
+                    "v": self.cache["v"][:, slot : slot + 1],
+                }
+                last_logits, new_slot = _prefill_slot(
+                    self.params, prompt, slot_cache, self.cfg
+                )
+                self.cache = {
+                    "k": self.cache["k"].at[:, slot : slot + 1].set(new_slot["k"]),
+                    "v": self.cache["v"].at[:, slot : slot + 1].set(new_slot["v"]),
+                }
+                first = int(np.asarray(jnp.argmax(last_logits, axis=-1))[0])
+                req.output.append(first)
+                self.slots[slot] = req
+                self.pos[slot] = len(req.prompt)
+                self.cur_token[slot, 0] = first
+                self._maybe_finish(slot)
+
+    def _maybe_finish(self, slot: int):
+        req = self.slots[slot]
+        if req is None:
+            return
+        if len(req.output) >= req.max_new_tokens or (
+            self.eos_id is not None and req.output and req.output[-1] == self.eos_id
+        ):
+            req.done = True
+            self.finished.append(req)
+            self.slots[slot] = None
+            self.pos[slot] = 0
+
+    def step(self):
+        """One engine tick: admit waiting requests, decode one token for every
+        active slot, retire finished sequences."""
+        self._admit()
+        active = [i for i, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return False
+        tokens = jnp.asarray(self.cur_token)
+        pos = jnp.asarray(self.pos)
+        nxt, self.cache = _decode_batch(self.params, tokens, self.cache, pos, self.cfg)
+        nxt = np.asarray(nxt)
+        for slot in active:
+            req = self.slots[slot]
+            req.output.append(int(nxt[slot]))
+            self.pos[slot] += 1
+            self.cur_token[slot, 0] = int(nxt[slot])
+            self._maybe_finish(slot)
+        return True
+
+    def run(self, max_ticks: int = 100000) -> List[Request]:
+        ticks = 0
+        while (self.queue or any(s is not None for s in self.slots)) and ticks < max_ticks:
+            progressed = self.step()
+            ticks += 1
+            if not progressed and not self.queue:
+                break
+        return self.finished

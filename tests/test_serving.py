@@ -1,0 +1,63 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qeft_tpu.models import LLAMA_PRESETS, init_params, init_kv_cache
+from qeft_tpu.models.llama import llama_decode_step, llama_decode_step_ragged
+from qeft_tpu.generate import generate, SampleConfig
+from qeft_tpu.serving import Engine, Request
+
+CFG = LLAMA_PRESETS["tiny"]
+
+
+def test_ragged_decode_matches_scalar_decode():
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    cache = init_kv_cache(CFG, 2, 16, dtype=jnp.float32)
+    tok = jnp.asarray([[3], [7]])
+    # both sequences at the same position: ragged == scalar
+    l_scalar, _ = llama_decode_step(params, tok, cache, jnp.int32(2), CFG)
+    l_ragged, _ = llama_decode_step_ragged(
+        params, tok, cache, jnp.asarray([2, 2], jnp.int32), CFG
+    )
+    np.testing.assert_allclose(
+        np.asarray(l_ragged), np.asarray(l_scalar), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_engine_matches_single_sequence_generation():
+    """Every request served by the continuous-batching engine must reproduce
+    its own single-sequence greedy decode."""
+    params = init_params(CFG, jax.random.PRNGKey(1), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, CFG.vocab_size, size=n) for n in (4, 6, 3, 5, 4)]
+    n_new = [5, 3, 6, 4, 5]
+
+    engine = Engine(params, CFG, max_batch=2, max_len=32, cache_dtype=jnp.float32)
+    for i, (p, n) in enumerate(zip(prompts, n_new)):
+        engine.submit(Request(request_id=i, prompt=p, max_new_tokens=n))
+    finished = engine.run()
+    assert len(finished) == len(prompts)
+
+    by_id = {r.request_id: r for r in finished}
+    for i, (p, n) in enumerate(zip(prompts, n_new)):
+        cache = init_kv_cache(CFG, 1, 32, dtype=jnp.float32)
+        ref, _ = generate(params, jnp.asarray(p[None, :]), cache, CFG, n, SampleConfig())
+        assert by_id[i].output == np.asarray(ref)[0].tolist(), i
+
+
+def test_engine_eos_retires_early():
+    params = init_params(CFG, jax.random.PRNGKey(2), dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, CFG.vocab_size, size=4)
+    # find what greedy emits first, then use it as "EOS"
+    cache = init_kv_cache(CFG, 1, 32, dtype=jnp.float32)
+    ref, _ = generate(params, jnp.asarray(prompt[None, :]), cache, CFG, 1, SampleConfig())
+    eos = int(np.asarray(ref)[0, 0])
+
+    engine = Engine(params, CFG, max_batch=2, max_len=32, eos_id=eos, cache_dtype=jnp.float32)
+    engine.submit(Request(request_id=0, prompt=prompt, max_new_tokens=10))
+    finished = engine.run()
+    assert len(finished) == 1
+    assert finished[0].output[-1] == eos
+    assert len(finished[0].output) < 10
