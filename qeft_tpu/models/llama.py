@@ -43,6 +43,11 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     dtype: Any = jnp.bfloat16
+    # family variants (gemma: reference model_config.json:52-77 treats gemma
+    # as llama-topology; these switches cover its numerics)
+    act: str = "silu"  # "silu" | "gelu_tanh"
+    rms_one_offset: bool = False  # gemma: norm scale is (1 + w)
+    embed_scale: bool = False  # gemma: embeddings scaled by sqrt(hidden)
 
 
 LLAMA_PRESETS: Dict[str, LlamaConfig] = {
@@ -62,6 +67,23 @@ LLAMA_PRESETS: Dict[str, LlamaConfig] = {
     "tiny-v2": LlamaConfig(
         vocab_size=512, hidden_size=512, intermediate_size=1024, num_layers=4,
         num_heads=4, num_kv_heads=4, head_dim=128, max_position_embeddings=512,
+    ),
+    "gemma-2b": LlamaConfig(
+        vocab_size=256000, hidden_size=2048, intermediate_size=16384,
+        num_layers=18, num_heads=8, num_kv_heads=1, head_dim=256,
+        max_position_embeddings=8192, rms_norm_eps=1e-6,
+        act="gelu_tanh", rms_one_offset=True, embed_scale=True,
+    ),
+    "gemma-7b": LlamaConfig(
+        vocab_size=256000, hidden_size=3072, intermediate_size=24576,
+        num_layers=28, num_heads=16, num_kv_heads=16, head_dim=256,
+        max_position_embeddings=8192, rms_norm_eps=1e-6,
+        act="gelu_tanh", rms_one_offset=True, embed_scale=True,
+    ),
+    "tiny-gemma": LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=64, max_position_embeddings=256,
+        act="gelu_tanh", rms_one_offset=True, embed_scale=True,
     ),
 }
 
@@ -126,10 +148,11 @@ def apply_linear(lin, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     return jnp.matmul(x.astype(lin.dtype), lin)
 
 
-def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+def rms_norm(x: jax.Array, w: jax.Array, eps: float, one_offset: bool = False) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+    normed = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return normed * (1.0 + w) if one_offset else normed * w
 
 
 def rope_tables(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -149,6 +172,19 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     c = cos[..., None, :].astype(x.dtype)
     s = sin[..., None, :].astype(x.dtype)
     return x * c + rotated * s
+
+
+def _act(gate: jax.Array, act: str) -> jax.Array:
+    if act == "gelu_tanh":
+        return jax.nn.gelu(gate, approximate=True)
+    return jax.nn.silu(gate)
+
+
+def _embed(params, tokens, cfg) -> jax.Array:
+    x = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.embed_scale:
+        x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
+    return x
 
 
 def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
@@ -182,7 +218,7 @@ def llama_block(
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     dtype = x.dtype
 
-    h = rms_norm(x, blk["input_ln"], cfg.rms_norm_eps)
+    h = rms_norm(x, blk["input_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     if "qkv" in blk:
         # stage-fused packed projection (valid because OGR gives every member
         # of the qkv stage the same input permutation and group layout)
@@ -240,7 +276,7 @@ def llama_block(
     attn_out = apply_linear(blk["o"], o_in, dtype)
     x = x + attn_out
 
-    h2 = rms_norm(x, blk["post_ln"], cfg.rms_norm_eps)
+    h2 = rms_norm(x, blk["post_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     if "upgate" in blk:
         ug = apply_linear(blk["upgate"], h2, dtype)
         f = ug.shape[-1] // 2
@@ -248,7 +284,7 @@ def llama_block(
     else:
         up = apply_linear(blk["up"], h2, dtype)
         gate = apply_linear(blk["gate"], h2, dtype)
-    act = jax.nn.silu(gate) * up
+    act = _act(gate, cfg.act) * up
     mlp_out = apply_linear(blk["down"], act, dtype)
     x = x + mlp_out
 
@@ -272,7 +308,7 @@ def _causal_mask(s: int, dtype=jnp.float32) -> jax.Array:
 def llama_forward(params: Dict, tokens: jax.Array, cfg: LlamaConfig) -> jax.Array:
     """Plain full-sequence forward -> logits [B, S, V] (no cache; PPL eval)."""
     b, s = tokens.shape
-    x = jnp.take(params["embed"], tokens, axis=0)
+    x = _embed(params, tokens, cfg)
     pos = jnp.arange(s)[None, :]
     cos, sin = rope_tables(cfg, pos)
     mask = _causal_mask(s)
@@ -282,7 +318,7 @@ def llama_forward(params: Dict, tokens: jax.Array, cfg: LlamaConfig) -> jax.Arra
         return out, None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
-    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     return apply_linear(params["lm_head"], x, x.dtype)
 
 
@@ -296,7 +332,7 @@ def llama_prefill(params: Dict, tokens: jax.Array, cache: Dict, cfg: LlamaConfig
     """Prefill: fills cache[:, :, :S], returns (logits [B, S, V], cache)."""
     b, s = tokens.shape
     max_len = cache["k"].shape[2]
-    x = jnp.take(params["embed"], tokens, axis=0)
+    x = _embed(params, tokens, cfg)
     pos = jnp.arange(s)[None, :]
     cos, sin = rope_tables(cfg, pos)
     mask = jnp.concatenate(
@@ -311,7 +347,7 @@ def llama_prefill(params: Dict, tokens: jax.Array, cache: Dict, cfg: LlamaConfig
         return out, (kc, vc)
 
     x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
-    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
     return logits, {"k": ks, "v": vs}
 
@@ -328,7 +364,7 @@ def llama_forward_window(
     """
     b, w = tokens.shape
     max_len = cache["k"].shape[2]
-    x = jnp.take(params["embed"], tokens, axis=0)
+    x = _embed(params, tokens, cfg)
     positions = pos + jnp.arange(w)[None, :]
     cos, sin = rope_tables(cfg, positions)
     key_pos = jnp.arange(max_len)[None, None, None, :]
@@ -343,7 +379,7 @@ def llama_forward_window(
         return out, (kc, vc)
 
     x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
-    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
     return logits, {"k": ks, "v": vs}
 
@@ -360,7 +396,7 @@ def llama_decode_step_ragged(
     """
     b = tokens.shape[0]
     max_len = cache["k"].shape[2]
-    x = jnp.take(params["embed"], tokens, axis=0)  # [B, 1, D]
+    x = _embed(params, tokens, cfg)  # [B, 1, D]
     cos, sin = rope_tables(cfg, pos[:, None])  # [B, 1, Dh]
     valid = jnp.arange(max_len)[None, None, None, :] <= pos[:, None, None, None]
     mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)  # [B,1,1,S]
@@ -377,7 +413,7 @@ def llama_decode_step_ragged(
         # inline block with ragged cache write
         hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
         dtype = xc.dtype
-        h = rms_norm(xc, blk["input_ln"], cfg.rms_norm_eps)
+        h = rms_norm(xc, blk["input_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
         if "qkv" in blk:
             qkv = apply_linear(blk["qkv"], h, dtype)
             q = qkv[..., : hq * dh].reshape(b, 1, hq, dh)
@@ -401,7 +437,7 @@ def llama_decode_step_ragged(
         if "o_reorder" in blk:
             o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
         xc = xc + apply_linear(blk["o"], o_in, dtype)
-        h2 = rms_norm(xc, blk["post_ln"], cfg.rms_norm_eps)
+        h2 = rms_norm(xc, blk["post_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
         if "upgate" in blk:
             ug = apply_linear(blk["upgate"], h2, dtype)
             f = ug.shape[-1] // 2
@@ -409,11 +445,11 @@ def llama_decode_step_ragged(
         else:
             up = apply_linear(blk["up"], h2, dtype)
             gate = apply_linear(blk["gate"], h2, dtype)
-        xc = xc + apply_linear(blk["down"], jax.nn.silu(gate) * up, dtype)
+        xc = xc + apply_linear(blk["down"], _act(gate, cfg.act) * up, dtype)
         return xc, (kc, vc)
 
     x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
-    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
     return logits[:, 0, :], {"k": ks, "v": vs}
 
@@ -427,7 +463,7 @@ def llama_decode_step(
     """
     b = token.shape[0]
     max_len = cache["k"].shape[2]
-    x = jnp.take(params["embed"], token, axis=0)  # [B, 1, D]
+    x = _embed(params, token, cfg)  # [B, 1, D]
     cos, sin = rope_tables(cfg, pos[None, None])
     # attend to positions <= pos
     valid = jnp.arange(max_len)[None, None, None, :] <= pos
@@ -441,6 +477,6 @@ def llama_decode_step(
         return out, (kc, vc)
 
     x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
-    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
     return logits[:, 0, :], {"k": ks, "v": vs}

@@ -55,3 +55,23 @@ def test_gqa_heads():
     tokens = jnp.zeros((1, 4), jnp.int32)
     logits = llama_forward(params, tokens, cfg)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_gemma_variant_forward_and_decode():
+    from qeft_tpu.models.llama import llama_prefill, LLAMA_PRESETS
+
+    cfg = LLAMA_PRESETS["tiny-gemma"]
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    # gemma convention: zero-centered norm weights, tied-ish head fine as-is
+    tokens = jnp.arange(8)[None, :] % cfg.vocab_size
+    full = np.asarray(llama_forward(params, tokens, cfg))
+    assert np.isfinite(full).all()
+
+    cache = init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits_p, cache = llama_prefill(params, tokens[:, :5], cache, cfg)
+    np.testing.assert_allclose(np.asarray(logits_p), full[:, :5], rtol=2e-3, atol=2e-3)
+    for i in range(5, 8):
+        logits_d, cache = llama_decode_step(
+            params, tokens[:, i : i + 1], cache, jnp.int32(i), cfg
+        )
+        np.testing.assert_allclose(np.asarray(logits_d), full[:, i], rtol=2e-3, atol=2e-3)
