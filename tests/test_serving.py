@@ -61,3 +61,29 @@ def test_engine_eos_retires_early():
     assert len(finished) == 1
     assert finished[0].output[-1] == eos
     assert len(finished[0].output) < 10
+
+
+def test_engine_with_sharded_params():
+    """Continuous batching over mesh-sharded (TP) params: the serving layer
+    composes with the parallel layer (multi-chip serving path)."""
+    from qeft_tpu.models.registry import get_model_meta
+    from qeft_tpu.parallel import make_mesh, shard_params
+
+    params = init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, CFG.vocab_size, size=4) for _ in range(3)]
+
+    engine_ref = Engine(params, CFG, max_batch=2, max_len=32, cache_dtype=jnp.float32)
+    for i, p in enumerate(prompts):
+        engine_ref.submit(Request(request_id=i, prompt=p, max_new_tokens=4))
+    ref = {r.request_id: r.output for r in engine_ref.run()}
+
+    # tp=2: the tiny model's 2 kv heads bound the tensor-parallel width
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+    sharded = shard_params(params, mesh, get_model_meta("llama"))
+    with jax.set_mesh(mesh):
+        engine = Engine(sharded, CFG, max_batch=2, max_len=32, cache_dtype=jnp.float32)
+        for i, p in enumerate(prompts):
+            engine.submit(Request(request_id=i, prompt=p, max_new_tokens=4))
+        out = {r.request_id: r.output for r in engine.run()}
+    assert out == ref
