@@ -93,6 +93,37 @@ _METAS: Dict[str, ModelMeta] = {
         ffn1=("fc1",),
         ffn2=("fc2",),
         ratios={"q": 1.0, "k": 1.0, "v": 1.0, "o": 1.0, "fc1": 0.25, "fc2": 0.25},
+        ln=("attn_ln", "final_ln"),
+    ),
+    # reference model_config.json:78-103 (phi: fused dense out, fc1/fc2)
+    "phi": ModelMeta(
+        family="phi",
+        qkv=("q", "k", "v"),
+        out=("o",),
+        ffn1=("fc1",),
+        ffn2=("fc2",),
+        ratios={"q": 1.0, "k": 1.0, "v": 1.0, "o": 1.0, "fc1": 0.25, "fc2": 0.25},
+    ),
+    # reference model_config.json:104-126 (bloom: single fused qkv linear)
+    "bloom": ModelMeta(
+        family="bloom",
+        qkv=("qkv",),
+        out=("dense",),
+        ffn1=("fc1",),
+        ffn2=("fc2",),
+        ratios={"qkv": 3.0, "dense": 1.0, "fc1": 0.25, "fc2": 0.25},
+        ln=("attn_ln", "post_ln"),
+    ),
+    # reference model_config.json:127-148 (falcon: same stage topology; the
+    # reference also forces percdamp=1.0 for falcon, misc.py:132-136)
+    "falcon": ModelMeta(
+        family="falcon",
+        qkv=("qkv",),
+        out=("dense",),
+        ffn1=("fc1",),
+        ffn2=("fc2",),
+        ratios={"qkv": 3.0, "dense": 1.0, "fc1": 0.25, "fc2": 0.25},
+        ln=("attn_ln",),
     ),
 }
 
@@ -106,6 +137,12 @@ def get_model_meta(name: str) -> ModelMeta:
         return _METAS["llama"]
     if "gemma" in low:
         return _METAS["gemma"]
+    if "phi" in low:
+        return _METAS["phi"]
+    if "bloom" in low:
+        return _METAS["bloom"]
+    if "falcon" in low:
+        return _METAS["falcon"]
     if low in _METAS:
         return _METAS[low]
     raise NotImplementedError(f"{name} model family is not implemented")
