@@ -22,7 +22,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, "/root/repo")
 
-from qeft_tpu.models.llama import LLAMA_PRESETS, LlamaConfig, init_kv_cache
+from qeft_tpu.models.llama import LLAMA_PRESETS, init_kv_cache
 from qeft_tpu.generate import generate, SampleConfig
 from qeft_tpu.testing import build_packed_model
 

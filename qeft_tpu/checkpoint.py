@@ -18,14 +18,12 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from qeft_tpu.models.llama import LlamaConfig
-from qeft_tpu.models.registry import ModelMeta, get_model_meta
 from qeft_tpu.ops.packing import QLinearParams
 
 _SEP = "::"

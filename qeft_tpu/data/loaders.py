@@ -13,8 +13,7 @@ hermetically on machines without network/dataset access.
 
 from __future__ import annotations
 
-import hashlib
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -14,7 +14,6 @@ wikitext2/ptb/c4/platypus/synthetic or a .npy token file.  Output:
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import time
 

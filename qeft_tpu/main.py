@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import time
 
 import numpy as np
@@ -42,7 +41,7 @@ def main():
     parser.add_argument("--logfile", type=str, default="")
     args = parser.parse_args()
 
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401 (used by --benchmark block)
 
     from qeft_tpu.models.registry import get_model_meta
 

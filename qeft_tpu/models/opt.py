@@ -12,13 +12,12 @@ remains exact.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 
 from qeft_tpu.models.llama import _causal_mask, apply_linear
-from qeft_tpu.ops.packing import QLinearParams
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,7 +19,6 @@ is a jitted scan over calibration samples.
 from __future__ import annotations
 
 import dataclasses
-import time
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -27,9 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qeft_tpu.models.llama import LlamaConfig, llama_block, rms_norm, rope_tables, _causal_mask, apply_linear
+from qeft_tpu.models.llama import LlamaConfig, llama_block, rope_tables, _causal_mask
 from qeft_tpu.models.registry import ModelMeta
-from qeft_tpu.ops.packing import QLinearParams, pack_layer
+from qeft_tpu.ops.packing import pack_layer
 from qeft_tpu.quant.gptq import gptq_quantize, LayerQuantResult
 from qeft_tpu.quant.outliers import frob_norm_error, hessian_sort_ids
 from qeft_tpu.quant.quantizer import QuantSpec

@@ -17,8 +17,6 @@ import json
 import os
 import time
 
-import numpy as np
-
 
 def get_last_checkpoint(output_dir: str):
     """Resume scan (reference finetune.py:747-759)."""
@@ -62,7 +60,6 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=100)
     args = parser.parse_args(argv)
 
-    import jax
     import jax.numpy as jnp
 
     from qeft_tpu.checkpoint import load_packed, save_wct, load_wct
