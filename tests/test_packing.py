@@ -85,3 +85,28 @@ def test_packed_bf16_forward_close():
     y_packed = np.asarray(qlinear_xla(x_perm, p)).astype(np.float32)
     rel = np.abs(y_packed - y_fake) / (np.abs(y_fake) + 1.0)
     assert rel.mean() < 0.01
+
+
+@pytest.mark.parametrize("bits", [2, 3])
+def test_low_bit_fake_vs_packed_parity(bits):
+    """w2/w3 pack into the same nibble layout (codes < 16); the packed path
+    must still reproduce the fake-quant reconstruction exactly."""
+    rng = np.random.default_rng(10 + bits)
+    oc, ic, g, r = 32, 256, 64, 8
+    w = rng.normal(size=(oc, ic)).astype(np.float32)
+    x = rng.normal(size=(256, ic)).astype(np.float32)
+    h = np.asarray(hessian_from_inputs(jnp.asarray(x)[None]))
+    spec = QuantSpec(bits=bits, sym=False, mse=False, group_size=g)
+    ids, out_ids = hessian_sort_ids(jnp.asarray(np.diag(h)), n_out=r)
+    res = gptq_quantize(jnp.asarray(w), jnp.asarray(h), spec, ids, out_ids)
+
+    from qeft_tpu.quant.reorder import sparse_to_dense_ids
+
+    dense_ids = sparse_to_dense_ids(out_ids, ic)
+    w_kn = jnp.take(res.w_fake, dense_ids, axis=1).T
+    p = pack_layer(w_kn, res.scale_group, res.zero_group, n_outlier=r,
+                   group_size=g, bits=bits, dtype=jnp.float32)
+    xq = jnp.asarray(rng.normal(size=(3, ic)).astype(np.float32))
+    y_fake = np.asarray(xq) @ np.asarray(res.w_fake).T
+    y_packed = np.asarray(qlinear_xla(jnp.take(xq, dense_ids, axis=-1), p, dtype=jnp.float32))
+    np.testing.assert_allclose(y_packed, y_fake, rtol=2e-4, atol=2e-4)
