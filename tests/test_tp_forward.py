@@ -1,0 +1,59 @@
+"""shard_map tensor-parallel decode vs single-device decode (CPU mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qeft_tpu.models import LLAMA_PRESETS, init_params, init_kv_cache
+from qeft_tpu.models.llama import llama_decode_step, llama_prefill
+from qeft_tpu.models.registry import get_model_meta
+from qeft_tpu.parallel import make_mesh
+from qeft_tpu.parallel.tp_forward import tp_shard_packed_params, tp_decode_step
+from qeft_tpu.pipeline import QuantizeArgs, extract_global_outidx, quantize_model, pack_model
+from qeft_tpu.quant.quantizer import QuantSpec
+
+CFG = LLAMA_PRESETS["tiny-v2"]  # 4 heads / 4 kv heads / dh 128; f=1024
+META = get_model_meta("llama")
+
+
+def fused_packed():
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    calib = rng.integers(0, CFG.vocab_size, size=(2, 16))
+    args = QuantizeArgs(
+        spec=QuantSpec(bits=4, sym=False, mse=False, group_size=128),
+        target_rank=16, no_frob_norm=True, nsamples=2,
+    )
+    outidx, _ = extract_global_outidx(params, calib, CFG, META, args)
+    qparams, quantizers = quantize_model(params, calib, CFG, META, args, outidx)
+    return pack_model(qparams, quantizers, CFG, META, dtype=jnp.float32, fuse_stages=True)
+
+
+def test_tp_decode_matches_single_device():
+    packed = fused_packed()
+    packed = jax.tree.map(jnp.asarray, packed)
+
+    # single-device reference: prefill 4 tokens then one decode step
+    cache = init_kv_cache(CFG, 1, 16, dtype=jnp.float32)
+    prompt = jnp.asarray([[1, 2, 3, 4]])
+    _, cache = llama_prefill(packed, prompt, cache, CFG)
+    tok = jnp.asarray([[5]])
+    ref_logits, ref_cache = llama_decode_step(packed, tok, cache, jnp.int32(4), CFG)
+
+    for tp in (2, 4):
+        mesh = make_mesh((1, tp), axis_names=("dp", "tp"),
+                         devices=jax.devices()[:tp])
+        sharded = tp_shard_packed_params(packed, mesh, CFG)
+        cache_sh = jax.device_put(cache)
+        logits, new_cache = tp_decode_step(
+            sharded, tok, cache_sh, jnp.int32(4), CFG, mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(ref_logits), rtol=2e-3, atol=2e-3,
+        )
+        # cache updated at pos 4 identically
+        np.testing.assert_allclose(
+            np.asarray(new_cache["k"][:, :, 4]),
+            np.asarray(ref_cache["k"][:, :, 4]),
+            rtol=2e-3, atol=2e-3,
+        )
