@@ -86,11 +86,54 @@ def hessian_accumulate(h: jax.Array, x: jax.Array, nsamples_seen: int, nsamples_
     return h, total
 
 
+def _blocked_tril_inv(l: jax.Array, nb: int = 8) -> jax.Array:
+    """Inverse of a lower-triangular matrix by block forward substitution.
+
+    XLA:TPU's triangular_solve with a wide right-hand side plans ~20 GB of
+    HBM at 11008^2 (measured), so the N^2-RHS solve is off the table; this
+    builds inv(L) from nb x nb blocks using only [b, b] solves and MXU
+    matmuls (peak memory ~ a few b^2 temporaries + the output).
+    """
+    n = l.shape[0]
+    assert n % nb == 0, (n, nb)
+    b = n // nb
+    eye_b = jnp.eye(b, dtype=l.dtype)
+
+    def blk(a, i, j):
+        return jax.lax.dynamic_slice(a, (i * b, j * b), (b, b))
+
+    x = [[None] * nb for _ in range(nb)]
+    for i in range(nb):
+        xii = jax.lax.linalg.triangular_solve(
+            blk(l, i, i), eye_b, left_side=True, lower=True
+        )
+        x[i][i] = xii
+        for j in range(i):
+            s = None
+            for k in range(j, i):
+                term = jnp.matmul(
+                    blk(l, i, k), x[k][j], precision=jax.lax.Precision.HIGHEST
+                )
+                s = term if s is None else s + term
+            x[i][j] = -jnp.matmul(xii, s, precision=jax.lax.Precision.HIGHEST)
+
+    zero = jnp.zeros((b, b), l.dtype)
+    rows = [
+        jnp.concatenate([x[i][j] if j <= i else zero for j in range(nb)], axis=1)
+        for i in range(nb)
+    ]
+    return jnp.concatenate(rows, axis=0)
+
+
 def _cholesky_inv_upper(h: jax.Array, percdamp: float) -> jax.Array:
     """Damped upper-triangular factor U with H^{-1} = U^T U.
 
-    Mirrors reference recon.py:414-421: damp diagonal, invert via Cholesky,
-    upper-Cholesky the inverse.
+    Numerically equals the reference chain chol(cholesky_inverse(chol(H)))
+    (recon.py:414-421) via the reversal identity: with J the index-reversal
+    and Lb = chol(J H J),  U = J inv(Lb) J  satisfies U^T U = H^{-1} and is
+    upper-triangular with positive diagonal (the unique Cholesky factor).
+    Avoids materializing H^{-1} and the wide triangular solve (see
+    `_blocked_tril_inv`).
     """
     ic = h.shape[0]
     diag = jnp.diagonal(h)
@@ -98,11 +141,11 @@ def _cholesky_inv_upper(h: jax.Array, percdamp: float) -> jax.Array:
     h = jnp.where(jnp.diag(dead), 1.0, h)
     damp = percdamp * jnp.mean(jnp.diagonal(h))
     h = h + jnp.eye(ic, dtype=h.dtype) * damp
-    l = jnp.linalg.cholesky(h)
-    hinv = jax.scipy.linalg.cho_solve((l, True), jnp.eye(ic, dtype=h.dtype))
-    # upper factor: hinv = U^T U  <=>  U = cholesky(hinv)^T
-    u = jnp.linalg.cholesky(hinv).T
-    return u
+    hb = jnp.flip(h, (0, 1))
+    lb = jnp.linalg.cholesky(hb)
+    nb = 8 if ic % 8 == 0 else 1
+    linv = _blocked_tril_inv(lb, nb=nb)
+    return jnp.flip(linv, (0, 1))
 
 
 def _quantize_block(w_blk, scale, zero, u_blk, col_offset, n_nonout, spec: QuantSpec):

@@ -120,3 +120,19 @@ def test_perfectly_quantizable_is_exact():
     out_ids = jnp.zeros((0,), dtype=jnp.int32)
     res = gptq_quantize(jnp.asarray(w), jnp.asarray(h), spec, ids, out_ids)
     np.testing.assert_allclose(np.asarray(res.w_fake), w, atol=1e-4)
+
+
+def test_cholesky_inv_upper_identity():
+    from qeft_tpu.quant.gptq import _cholesky_inv_upper
+
+    rng = np.random.default_rng(8)
+    ic = 64
+    a = rng.normal(size=(ic, ic)).astype(np.float32)
+    h = a @ a.T + ic * np.eye(ic, dtype=np.float32)
+    u = np.asarray(_cholesky_inv_upper(jnp.asarray(h), percdamp=0.0))
+    # upper triangular with positive diagonal
+    assert np.allclose(u, np.triu(u), atol=1e-6)
+    assert (np.diag(u) > 0).all()
+    # U^T U == H^{-1}
+    hinv = np.linalg.inv(h)
+    np.testing.assert_allclose(u.T @ u, hinv, rtol=2e-3, atol=1e-5)
