@@ -108,6 +108,17 @@ def _embed_tokens(embed, tokens, cfg: LlamaConfig):
     return jnp.take(embed, tokens, axis=0)
 
 
+def _hessian_precision():
+    """HIGHEST (fp32-equivalent, default) or HIGH (bf16x3, ~2x faster) for
+    the calibration Hessian accumulation — set QEFT_HESSIAN_PRECISION=high
+    to trade a little accuracy for large-model calibration speed."""
+    import os
+
+    if os.environ.get("QEFT_HESSIAN_PRECISION", "highest").lower() == "high":
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.HIGHEST
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def block_hessians(blk, inps, cfg: LlamaConfig):
     """Run one block over all calibration samples, accumulating the four
@@ -123,6 +134,7 @@ def block_hessians(blk, inps, cfg: LlamaConfig):
 
     hd = cfg.num_heads * cfg.head_dim
     f = cfg.intermediate_size
+    prec = _hessian_precision()
 
     def step(carry, x):
         h_qkv, h_o, h_ffn1, h_ffn2 = carry
@@ -130,9 +142,7 @@ def block_hessians(blk, inps, cfg: LlamaConfig):
 
         def acc(h, a):
             flat = a.reshape(-1, a.shape[-1]).astype(jnp.float32)
-            return h + jnp.matmul(
-                flat.T, flat, precision=jax.lax.Precision.HIGHEST
-            )
+            return h + jnp.matmul(flat.T, flat, precision=prec)
 
         carry = (
             acc(h_qkv, cap["qkv_in"]),
