@@ -161,3 +161,20 @@ def test_true_sequential_runs_and_is_close():
     logits_q = np.asarray(llama_forward(qp, tokens, CFG))
     corr = np.corrcoef(logits_fp.ravel(), logits_q.ravel())[0, 1]
     assert corr > 0.98, corr
+
+
+def test_target_bit_budget_allocation():
+    """--target_bit converts an average-bit budget into per-layer outlier
+    counts via layer ratios (reference main.py:76-95)."""
+    from qeft_tpu.pipeline import _n_out_dict
+
+    params, _ = setup()
+    args = make_args(target_rank=None, target_bit=4.2)
+    n_out = _n_out_dict(params, META, args, CFG)
+    # all even, positive for owq layers, scaled by ratios
+    assert all(v % 2 == 0 for v in n_out.values())
+    assert n_out["q"] > 0
+    # mlp layers have ratio 0.375 of attention's 1.0 (but different k_in)
+    d, f = CFG.hidden_size, CFG.intermediate_size
+    r = (12 / (16 - 4)) * (4.2 - 4) / 7
+    assert n_out["q"] == round(d * r * 1.0) + (round(d * r * 1.0) % 2)
