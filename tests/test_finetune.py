@@ -87,3 +87,34 @@ def test_wct_training_reduces_loss_and_touches_only_oweights():
     grads = jax.grad(lambda o: wct_loss(o, frozen, ids, labels, CFG))(ow)
     for name, g in grads.items():
         assert float(jnp.abs(g).max()) > 0, name
+
+
+def test_grad_accum_matches_larger_batch():
+    """MultiSteps(grad_accum=2) over two half-batches == one full-batch step."""
+    import optax
+
+    packed = packed_tiny()
+    ow0, frozen = split_wct(packed, META)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(4, 16)))
+
+    # full batch, plain sgd for exact comparability
+    sgd = optax.sgd(1e-2)
+    st = sgd.init(ow0)
+    step_full = make_train_step(CFG, sgd, remat=False)
+    ow_full, _, _ = step_full(jax.tree.map(jnp.copy, ow0), st, frozen, ids, ids)
+
+    accum = optax.MultiSteps(optax.sgd(1e-2), 2)
+    st2 = accum.init(ow0)
+    step_acc = make_train_step(CFG, accum, remat=False)
+    ow_acc = jax.tree.map(jnp.copy, ow0)
+    for half in (ids[:2], ids[2:]):
+        ow_acc, st2, _ = step_acc(ow_acc, st2, frozen, half, half)
+
+    # MultiSteps averages the two half-batch grads; each half-batch loss is a
+    # mean over its own tokens, so with equal valid-token counts this equals
+    # the full-batch gradient
+    for name in ow_full:
+        np.testing.assert_allclose(
+            np.asarray(ow_acc[name]), np.asarray(ow_full[name]), rtol=2e-4, atol=2e-6
+        )
