@@ -330,23 +330,31 @@ def quantize_model(
 
         # propagate quantized-block outputs to the next block
         inps = block_forward_batch(new_blk, inps, cfg)
-        new_blocks.append(_to_host(new_blk) if dev is not None else new_blk)
         if dev is not None:
+            # write into preallocated host arrays — no per-block dict pileup
+            # (a 7B run is ~27 GB of fp32 fake weights; duplicating the tree
+            # once already OOM-killed a 125 GB host)
+            if not new_blocks:
+                new_blocks = {
+                    k: np.empty((cfg.num_layers,) + v.shape, np.asarray(v).dtype)
+                    for k, v in new_blk.items()
+                }
+            for k, v in new_blk.items():
+                new_blocks[k][i] = np.asarray(v)
             for name in meta.all_linears:  # move this block's states host-side
                 quantizers[(i, name)] = _to_host(quantizers[(i, name)])
+        else:
+            new_blocks.append(new_blk)
 
-    stack = _stack_host if dev is not None else (
-        lambda blocks: jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
-    )
     new_params = dict(params)
-    new_params["layers"] = stack(new_blocks)
+    if dev is not None:
+        new_params["layers"] = new_blocks
+    else:
+        new_params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *new_blocks)
 
     if args.reorder:
         if dev is not None:
-            # permutation pass on host memory
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                new_params = reorder_model(new_params, quantizers, global_out, cfg, meta)
-                new_params = _to_host(new_params)
+            new_params = reorder_model_host(new_params, quantizers, global_out, cfg, meta)
         else:
             new_params = reorder_model(new_params, quantizers, global_out, cfg, meta)
     return new_params, quantizers
@@ -457,6 +465,76 @@ def reorder_model(
         new_blocks.append(nb)
 
     new["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *new_blocks)
+    return new
+
+
+def reorder_model_host(
+    params: Dict,
+    quantizers: Dict,
+    global_out,
+    cfg: LlamaConfig,
+    meta: ModelMeta,
+) -> Dict:
+    """Memory-lean host-side OGR pass: same permutations as `reorder_model`,
+    applied leaf-by-leaf, layer-by-layer on numpy arrays (peak overhead = one
+    [K, N] temporary instead of duplicating the whole multi-GB tree)."""
+    import numpy as _np
+
+    d = cfg.hidden_size
+    go = _np.asarray(global_out)
+    mask = _np.ones((d,), bool)
+    mask[go] = False
+    g_ids = _np.concatenate([_np.arange(d)[mask], go]).astype(_np.int64)
+
+    def dense_ids(sparse, length):
+        m = _np.ones((length,), bool)
+        m[_np.asarray(sparse)] = False
+        return _np.concatenate([_np.arange(length)[m], _np.asarray(sparse)]).astype(_np.int64)
+
+    new = dict(params)
+    new["embed"] = _np.ascontiguousarray(_np.asarray(params["embed"])[:, g_ids])
+    new["final_ln"] = _np.asarray(params["final_ln"])[g_ids]
+    new["lm_head"] = _np.ascontiguousarray(_np.asarray(params["lm_head"])[g_ids, :])
+
+    def writable(v):
+        a = _np.asarray(v)
+        return a if a.flags.writeable else a.copy()
+
+    layers = {k: writable(v) for k, v in params["layers"].items() if k != "o_reorder"}
+    (o_name,) = meta.out
+    (f2_name,) = meta.ffn2
+    o_reorder = _np.empty((cfg.num_layers, layers[o_name].shape[1]), _np.int32)
+
+    def perm_state(key, ids):
+        st: QuantizerState = quantizers[key]
+        quantizers[key] = QuantizerState(
+            scale_group=_np.asarray(st.scale_group)[ids],
+            zero_group=_np.asarray(st.zero_group)[ids],
+            out_ids=st.out_ids, sym=st.sym, bits=st.bits, group_size=st.group_size,
+        )
+
+    for i in range(cfg.num_layers):
+        for name in meta.qkv + meta.ffn1:
+            layers[name][i] = layers[name][i][g_ids, :]
+        for ln in meta.ln:
+            layers[ln][i] = layers[ln][i][g_ids]
+
+        o_state: QuantizerState = quantizers[(i, o_name)]
+        o_ids = dense_ids(o_state.out_ids, layers[o_name].shape[1])
+        layers[o_name][i] = layers[o_name][i][o_ids, :][:, g_ids]
+        o_reorder[i] = o_ids
+        perm_state((i, o_name), g_ids)
+
+        f2_state: QuantizerState = quantizers[(i, f2_name)]
+        f_ids = dense_ids(f2_state.out_ids, layers[f2_name].shape[1])
+        for name in meta.ffn1:
+            layers[name][i] = layers[name][i][:, f_ids]
+            perm_state((i, name), f_ids)
+        layers[f2_name][i] = layers[f2_name][i][f_ids, :][:, g_ids]
+        perm_state((i, f2_name), g_ids)
+
+    layers["o_reorder"] = o_reorder
+    new["layers"] = layers
     return new
 
 

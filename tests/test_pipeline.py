@@ -178,3 +178,60 @@ def test_target_bit_budget_allocation():
     d, f = CFG.hidden_size, CFG.intermediate_size
     r = (12 / (16 - 4)) * (4.2 - 4) / 7
     assert n_out["q"] == round(d * r * 1.0) + (round(d * r * 1.0) % 2)
+
+
+def test_host_reorder_matches_jnp_reorder():
+    from qeft_tpu.pipeline import reorder_model_host
+
+    params, calib = setup()
+    rng = np.random.default_rng(4)
+    d, hd, f = CFG.hidden_size, CFG.num_heads * CFG.head_dim, CFG.intermediate_size
+    global_out = jnp.asarray(np.sort(rng.choice(d, size=8, replace=False)))
+
+    def dummy_state(k_in, n_out_dim, r):
+        out_ids = jnp.asarray(np.sort(rng.choice(k_in, size=r, replace=False)))
+        g = k_in // 64
+        return QuantizerState(
+            scale_group=jnp.asarray(rng.random((n_out_dim, g)).astype(np.float32)),
+            zero_group=jnp.asarray(rng.random((n_out_dim, g)).astype(np.float32)),
+            out_ids=out_ids, sym=False, bits=4, group_size=64,
+        )
+
+    def make_states():
+        q = {}
+        rng2 = np.random.default_rng(4)
+        for i in range(CFG.num_layers):
+            q[(i, "o")] = dummy_state(hd, d, 4)
+            q[(i, "down")] = dummy_state(f, d, 4)
+            for name in ("q", "k", "v"):
+                q[(i, name)] = dummy_state(d, hd, 8)
+            for name in ("up", "gate"):
+                q[(i, name)] = dummy_state(d, f, 8)
+        return q
+
+    rng = np.random.default_rng(5)
+    qa = make_states()
+    rng = np.random.default_rng(5)
+    qb = {k: QuantizerState(
+        scale_group=jnp.asarray(np.array(v.scale_group)),
+        zero_group=jnp.asarray(np.array(v.zero_group)),
+        out_ids=v.out_ids, sym=v.sym, bits=v.bits, group_size=v.group_size,
+    ) for k, v in qa.items()}
+
+    ref = reorder_model(params, qa, global_out, CFG, META)
+    host = reorder_model_host(
+        jax.tree.map(lambda a: np.asarray(a), params), qb, np.asarray(global_out),
+        CFG, META,
+    )
+    for key in ("embed", "final_ln", "lm_head"):
+        np.testing.assert_allclose(np.asarray(host[key]), np.asarray(ref[key]), rtol=1e-6)
+    for name in list(META.all_linears) + list(META.ln) + ["o_reorder"]:
+        np.testing.assert_allclose(
+            np.asarray(host["layers"][name]), np.asarray(ref["layers"][name]),
+            rtol=1e-6, err_msg=name,
+        )
+    for key in qa:
+        np.testing.assert_allclose(
+            np.asarray(qb[key].scale_group), np.asarray(qa[key].scale_group),
+            rtol=1e-6, err_msg=str(key),
+        )
