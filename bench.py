@@ -58,9 +58,17 @@ def main():
     cache = init_kv_cache(cfg, 1, MAX_LEN, dtype=jnp.bfloat16)
     sc = SampleConfig(greedy=True)
 
-    # compile + warmup (np.asarray forces real completion through the tunnel)
-    tokens, _ = generate(params, prompt, cache, cfg, GEN, sc)
-    np.asarray(tokens)
+    # compile + warmup (np.asarray forces real completion through the tunnel);
+    # the pooled TPU worker occasionally restarts — retry once after a pause
+    for attempt in range(2):
+        try:
+            tokens, _ = generate(params, prompt, cache, cfg, GEN, sc)
+            np.asarray(tokens)
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+            time.sleep(120)
 
     best = float("inf")
     for _ in range(3):  # shared-TPU noise: take the best run
