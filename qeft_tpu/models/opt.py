@@ -101,7 +101,7 @@ def layer_norm(x, w, b, eps):
     return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w + b
 
 
-def opt_block(blk, x, cfg: OPTConfig, mask):
+def opt_block(blk, x, cfg: OPTConfig, mask, capture: bool = False):
     b, s, d = x.shape
     h, dh = cfg.num_heads, cfg.head_dim
     dtype = x.dtype
@@ -109,6 +109,7 @@ def opt_block(blk, x, cfg: OPTConfig, mask):
     res = x
     if cfg.do_layer_norm_before:
         x = layer_norm(x, blk["attn_ln"], blk["attn_ln_b"], cfg.layer_norm_eps)
+    qkv_in = x
     q = (apply_linear(blk["q"], x, dtype) + blk["q_b"]).reshape(b, s, h, dh)
     k = (apply_linear(blk["k"], x, dtype) + blk["k_b"]).reshape(b, s, h, dh)
     v = (apply_linear(blk["v"], x, dtype) + blk["v_b"]).reshape(b, s, h, dh)
@@ -126,10 +127,15 @@ def opt_block(blk, x, cfg: OPTConfig, mask):
     res = x
     if cfg.do_layer_norm_before:
         x = layer_norm(x, blk["final_ln"], blk["final_ln_b"], cfg.layer_norm_eps)
+    ffn1_in = x
     h1 = jax.nn.relu(apply_linear(blk["fc1"], x, dtype) + blk["fc1_b"])
     x = res + apply_linear(blk["fc2"], h1, dtype) + blk["fc2_b"]
     if not cfg.do_layer_norm_before:
         x = layer_norm(x, blk["final_ln"], blk["final_ln_b"], cfg.layer_norm_eps)
+    if capture:
+        # inputs to the four sequential quantization stages (reference
+        # model_config.json:2-25: [qkv], [out_proj], [fc1], [fc2])
+        return x, {"qkv_in": qkv_in, "o_in": ctx, "ffn1_in": ffn1_in, "ffn2_in": h1}
     return x
 
 

@@ -178,6 +178,82 @@ def block_forward_batch(blk, inps, cfg: LlamaConfig):
     return outs
 
 
+# --- OPT family (fc1/fc2 MLP, LayerNorm, learned positions) ---
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _opt_embed_tokens(embed, embed_pos, tokens, cfg):
+    from qeft_tpu.models.opt import _POS_OFFSET
+
+    s = tokens.shape[1]
+    pos = jnp.arange(s) + _POS_OFFSET
+    return jnp.take(embed, tokens, axis=0) + jnp.take(embed_pos, pos, axis=0)[None]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def opt_block_hessians(blk, inps, cfg):
+    from qeft_tpu.models.opt import opt_block
+
+    n, s, d = inps.shape
+    mask = _causal_mask(s)
+    hd = cfg.num_heads * cfg.head_dim
+    f = cfg.ffn_dim
+
+    def step(carry, x):
+        h_qkv, h_o, h_ffn1, h_ffn2 = carry
+        out, cap = opt_block(blk, x[None], cfg, mask, capture=True)
+
+        def acc(h, a):
+            flat = a.reshape(-1, a.shape[-1]).astype(jnp.float32)
+            return h + jnp.matmul(flat.T, flat, precision=_hessian_precision())
+
+        return (
+            acc(h_qkv, cap["qkv_in"]), acc(h_o, cap["o_in"]),
+            acc(h_ffn1, cap["ffn1_in"]), acc(h_ffn2, cap["ffn2_in"]),
+        ), out[0]
+
+    init = (
+        jnp.zeros((d, d), jnp.float32), jnp.zeros((hd, hd), jnp.float32),
+        jnp.zeros((d, d), jnp.float32), jnp.zeros((f, f), jnp.float32),
+    )
+    (h_qkv, h_o, h_ffn1, h_ffn2), outs = jax.lax.scan(step, init, inps)
+    return outs, {"qkv": h_qkv, "out": h_o, "ffn1": h_ffn1, "ffn2": h_ffn2}
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def opt_block_forward_batch(blk, inps, cfg):
+    from qeft_tpu.models.opt import opt_block
+
+    n, s, d = inps.shape
+    mask = _causal_mask(s)
+
+    def step(_, x):
+        return None, opt_block(blk, x[None], cfg, mask)[0]
+
+    _, outs = jax.lax.scan(step, None, inps)
+    return outs
+
+
+def _family_ops(meta: ModelMeta):
+    """(embed_fn(params, tokens, cfg), hessians_fn, forward_fn) per family."""
+    if meta.family == "opt":
+        return (
+            lambda params, tokens, cfg: _opt_embed_tokens(
+                jnp.asarray(params["embed"]), jnp.asarray(params["embed_pos"]),
+                tokens, cfg,
+            ),
+            opt_block_hessians,
+            opt_block_forward_batch,
+        )
+    return (
+        lambda params, tokens, cfg: _embed_tokens(
+            jnp.asarray(params["embed"]), tokens, cfg
+        ),
+        block_hessians,
+        block_forward_batch,
+    )
+
+
 def _stage_of(meta: ModelMeta, name: str) -> str:
     if name in meta.qkv:
         return "qkv"
@@ -233,7 +309,8 @@ def extract_global_outidx(
         target_rank = args.perhead * cfg.num_heads
 
     tokens = jnp.asarray(calib_tokens)
-    inps = _embed_tokens(jnp.asarray(params["embed"]), tokens, cfg)
+    embed_fn, hess_fn, _ = _family_ops(meta)
+    inps = embed_fn(params, tokens, cfg)
     n_layers = cfg.num_layers
 
     sensitivity = jnp.zeros((cfg.hidden_size,), jnp.float32)
@@ -243,7 +320,7 @@ def extract_global_outidx(
     dev = jax.devices()[0] if jax.default_backend() != "cpu" else None
     for i in range(n_layers):
         blk = _block_at(params["layers"], i, dev)
-        outs, h_sums = block_hessians(blk, inps, cfg)
+        outs, h_sums = hess_fn(blk, inps, cfg)
         for stage, names in (("qkv", meta.qkv), ("ffn1", meta.ffn1)):
             h_diag_base = jnp.diagonal(h_sums[stage]) * (2.0 / args.nsamples)
             for name in names:
@@ -282,9 +359,14 @@ def quantize_model(
     """
     if args.reorder:
         assert outidx is not None, "global reorder needs the extracted outidx"
+        assert meta.family in ("llama", "gemma"), (
+            "static global reorder is implemented for llama-family models; "
+            "quantize OPT/bloom/falcon with reorder=False (per-layer outliers)"
+        )
     spec = args.spec
     tokens = jnp.asarray(calib_tokens)
-    inps = _embed_tokens(jnp.asarray(params["embed"]), tokens, cfg)
+    embed_fn, hess_fn, fwd_fn = _family_ops(meta)
+    inps = embed_fn(params, tokens, cfg)
     n_out = _n_out_dict(params, meta, args, cfg)
     global_out = None if outidx is None else jnp.asarray(outidx, jnp.int32)
 
@@ -321,7 +403,7 @@ def quantize_model(
         for stage_names in stage_order:
             # recompute Hessians against the partially-quantized block
             if args.true_sequential or h_sums is None:
-                _, h_sums = block_hessians(new_blk, inps, cfg)
+                _, h_sums = hess_fn(new_blk, inps, cfg)
             for name in stage_names:
                 _quantize_one(
                     name, blk, new_blk, h_sums, quantizers, i, meta, args,
@@ -329,7 +411,7 @@ def quantize_model(
                 )
 
         # propagate quantized-block outputs to the next block
-        inps = block_forward_batch(new_blk, inps, cfg)
+        inps = fwd_fn(new_blk, inps, cfg)
         if dev is not None:
             # write into preallocated host arrays — no per-block dict pileup
             # (a 7B run is ~27 GB of fp32 fake weights; duplicating the tree
