@@ -29,9 +29,13 @@ from qeft_tpu.testing import build_packed_model
 # v5e HBM bandwidth (spec ~819 GB/s)
 HBM_BW = 819e9
 
+import os
+
 CTX = 64
 GEN = 256
-MAX_LEN = 512
+# static KV allocation; the reference allocates max_position_embeddings (4096,
+# ftllama_modeling.py:60-67) — QEFT_BENCH_MAXLEN overrides for ablations
+MAX_LEN = int(os.environ.get("QEFT_BENCH_MAXLEN", "512"))
 GROUP = 128
 RANK = 128
 

@@ -61,10 +61,20 @@ def _attn_kernel(
         k = k_ref[:].reshape(blk, hkv, d).astype(jnp.float32)
         v = v_ref[:].reshape(blk, hkv, d).astype(jnp.float32)
 
-        # scores [H, blk]: head h attends kv-head h // n_rep
-        qh = q.reshape(hkv, n_rep, d)
-        scores = jnp.einsum("grd,sgd->grs", qh, k) * scale  # [hkv, rep, blk]
-        scores = scores.reshape(h, blk)
+        # scores [H, blk]: head h attends kv-head h // n_rep.  Mosaic's
+        # dot_general has no general batched form ("batch dims must be
+        # equal"), so contract per kv head with plain 2D dots.
+        score_rows = []
+        for gi in range(hkv):
+            q_g = q[gi * n_rep : (gi + 1) * n_rep, :]  # [rep, D]
+            k_g = k[:, gi, :]  # [blk, D]
+            score_rows.append(
+                jax.lax.dot_general(
+                    q_g, k_g, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        scores = jnp.concatenate(score_rows, axis=0) * scale  # [H, blk]
 
         valid = (s_idx * blk + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)) <= pos
         scores = jnp.where(valid, scores, -jnp.inf)
@@ -74,8 +84,14 @@ def _attn_kernel(
         p = jnp.exp(scores - m_new)  # [H, blk]
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        ph = p.reshape(hkv, n_rep, blk)
-        pv = jnp.einsum("grs,sgd->grd", ph, v).reshape(h, d)
+        pv_rows = []
+        for gi in range(hkv):
+            p_g = p[gi * n_rep : (gi + 1) * n_rep, :]  # [rep, blk]
+            v_g = v[:, gi, :]  # [blk, D]
+            pv_rows.append(
+                jnp.dot(p_g, v_g, preferred_element_type=jnp.float32)
+            )
+        pv = jnp.concatenate(pv_rows, axis=0)  # [H, D]
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = m_new
 
