@@ -68,7 +68,8 @@ def main(argv=None):
     params = jax.device_put(params)
 
     prompt = jax.random.randint(key, (1, args.context), 0, cfg.vocab_size, jnp.int32)
-    max_len = args.context + args.gen
+    # speculative rounds write up to gamma+1 positions past the accepted point
+    max_len = args.context + args.gen + (args.gamma + 1 if args.method == "spec" else 0)
     cache = init_kv_cache(cfg, 1, max_len, dtype=jnp.bfloat16)
 
     if args.method == "spec":

@@ -107,8 +107,10 @@ class Engine:
         req = self.slots[slot]
         if req is None:
             return
-        if len(req.output) >= req.max_new_tokens or (
-            self.eos_id is not None and req.output and req.output[-1] == self.eos_id
+        if (
+            len(req.output) >= req.max_new_tokens
+            or self.pos[slot] >= self.max_len - 1  # cache slot exhausted
+            or (self.eos_id is not None and req.output and req.output[-1] == self.eos_id)
         ):
             req.done = True
             self.finished.append(req)

@@ -87,3 +87,14 @@ def test_engine_with_sharded_params():
             engine.submit(Request(request_id=i, prompt=p, max_new_tokens=4))
         out = {r.request_id: r.output for r in engine.run()}
     assert out == ref
+
+
+def test_engine_caps_at_cache_capacity():
+    params = init_params(CFG, jax.random.PRNGKey(4), dtype=jnp.float32)
+    prompt = np.arange(4)
+    engine = Engine(params, CFG, max_batch=1, max_len=8, cache_dtype=jnp.float32)
+    engine.submit(Request(request_id=0, prompt=prompt, max_new_tokens=100))
+    finished = engine.run(max_ticks=50)
+    assert len(finished) == 1
+    # prompt fills 4 slots; decode can extend only to the cache edge
+    assert len(finished[0].output) <= 8 - 4 + 1

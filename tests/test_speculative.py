@@ -53,3 +53,17 @@ def test_telemetry_counts():
     out, telem = run_spec(target, draft, prompt, 8, 2)
     assert int(telem["rounds"]) >= 1
     assert 0 <= float(telem["mean_accept_length"]) <= 2.0
+
+
+def test_speculative_cache_requirement_documented():
+    """Cache must cover prompt + max_new + gamma + 1 (verify-window overhang)."""
+    target, draft, prompt = setup()
+    n, gamma = 10, 4
+    need = prompt.shape[1] + n + gamma + 1
+    t_cache = init_kv_cache(CFG, 1, need, dtype=jnp.float32)
+    d_cache = init_kv_cache(CFG, 1, need, dtype=jnp.float32)
+    out, _ = speculative_generate(target, draft, prompt, t_cache, d_cache, CFG, CFG, n, gamma)
+    cache = init_kv_cache(CFG, 1, 64, dtype=jnp.float32)
+    from qeft_tpu.generate import generate, SampleConfig
+    ref, _ = generate(target, prompt, cache, CFG, n, SampleConfig())
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
