@@ -1,0 +1,27 @@
+.PHONY: test native bench verify-cli clean
+
+test:
+	python -m pytest tests/ -q
+
+native:
+	$(MAKE) -C native
+
+bench:
+	python bench.py
+
+# hermetic end-to-end CLI workflow on CPU (see .claude/skills/verify)
+verify-cli:
+	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.extract_outidx \
+	    tiny synthetic --wbits 4 --target_rank 8 --groupsize 64 --no_frob_norm \
+	    --nsamples 2 --seqlen 32 --output_dir /tmp/qeft_verify/oidx
+	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.main \
+	    tiny synthetic --wbits 4 --target_rank 8 --groupsize 64 --no_frob_norm \
+	    --nsamples 2 --seqlen 32 --reorder \
+	    --outidx_file /tmp/qeft_verify/oidx/w4_r8/outidx.npy \
+	    --packing --fake --save /tmp/qeft_verify/ckpt --eval --eval_windows 2
+	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.main \
+	    tiny synthetic --load /tmp/qeft_verify/ckpt_packed --eval \
+	    --eval_windows 2 --seqlen 32 --benchmark 8
+
+clean:
+	rm -rf .pytest_cache __pycache__ native/libqeft_host.so

@@ -13,3 +13,12 @@ def test_mc_eval_runs_and_bounds():
     res = evaluate_mc(params, examples, CFG)
     assert res["n"] == 12
     assert 0.0 <= res["accuracy"] <= 1.0
+
+
+def test_mc_eval_composes_with_packed_model():
+    from tests.test_finetune import packed_tiny
+
+    packed = packed_tiny()
+    examples = synthetic_mc_examples(6, CFG.vocab_size, seed=1)
+    res = evaluate_mc(packed, examples, CFG)
+    assert res["n"] == 6 and 0.0 <= res["accuracy"] <= 1.0
