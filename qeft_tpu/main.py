@@ -82,6 +82,7 @@ def main():
             results["quantize_time_s"] = round(time.time() - tick, 1)
             print(f"Reconstruction done in {results['quantize_time_s']}s")
 
+    packed = None
     if args.save:
         from qeft_tpu.checkpoint import save_fake, save_packed
 
@@ -107,6 +108,15 @@ def main():
             ppl = eval_ppl(params, test, cfg, seqlen=seqlen, max_windows=args.eval_windows)
             results[f"ppl_{ds}"] = round(ppl, 4)
             print(f"{ds} ppl: {ppl:.4f}")
+            if packed is not None:
+                # the reference's correctness oracle (README.md:55-59):
+                # packed-path PPL must match the fake-quant reconstruction
+                ppl_packed = eval_ppl(
+                    packed, test, cfg, seqlen=seqlen, max_windows=args.eval_windows
+                )
+                results[f"ppl_{ds}_packed"] = round(ppl_packed, 4)
+                delta = abs(ppl_packed - ppl) / max(ppl, 1e-9)
+                print(f"{ds} ppl (packed): {ppl_packed:.4f}  (fake-vs-packed delta {delta:.2%})")
 
     if args.benchmark:
         import jax
