@@ -106,8 +106,12 @@ def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig) -> Dict:
             elif name == "upgate":
                 new_layers[name] = put_col(_permute_cols(leaf, ug_perm))
             else:  # o, down: row-parallel
-                g = leaf.group_size
-                n_groups = leaf.qweight.shape[1] * 8 // (g if g > 0 else leaf.in_features)
+                g = leaf.group_size if leaf.group_size > 0 else leaf.in_features
+                n_groups = leaf.in_features // g
+                assert n_groups % tp == 0, (
+                    f"{name}: {n_groups} quantization groups must divide tp={tp} "
+                    "(row-parallel shards whole groups)"
+                )
                 new_layers[name] = put_row(leaf)
         else:
             new_layers[name] = rep(leaf)
