@@ -7,11 +7,13 @@ frozen, and gradients flow through the quantized matmul
 (`QuantMatMulQEFT`, qlinear.py:13-44).
 
 TPU-native re-design: the packed params pytree is *partitioned* into
-(trainable oweights, frozen rest) — JAX autodiff through the XLA dequant
-forward then gives exactly the reference backward for free, with the
-reference's square-layer-only grad_input quirk fixed (it multiplies by the
-untransposed packed weight, qlinear.py:38-39; autodiff uses the true
-transpose).  Gradient checkpointing = `jax.checkpoint` over the block scan.
+(trainable oweights, frozen rest).  The quantized matmul carries a
+`jax.custom_vjp` (ops/qlinear.py), so training differentiates THROUGH the
+Pallas kernels on TPU: backward streams the packed codes via the transposed
+Pallas GEMM (`qgemm_t`) for grad_input — the true transpose, fixing the
+reference's square-layer-only quirk (it multiplies by the untransposed packed
+weight, qlinear.py:38-39) — plus the exact fp-slab grads.  Gradient
+checkpointing = `jax.checkpoint` over the block scan.
 """
 
 from __future__ import annotations

@@ -12,9 +12,12 @@ Layout conventions:
   through `apply_linear`.
 - per-layer params are stacked on a leading axis and scanned
   (`lax.scan` over blocks — one compiled block body regardless of depth).
-- the KV cache is static-shape ``[L, B, S_max, H_kv, Dh]``; decode writes at a
-  runtime position (the reference's FT static cache, ftllama_modeling.py:60-67,
-  without the CUDA x8 packing which is meaningless on TPU).
+- the KV cache is static-shape **head-major** ``[L, B, H_kv, S_max, Dh]``;
+  decode writes at a runtime position (the reference's FT static cache,
+  ftllama_modeling.py:60-67, without the CUDA x8 packing which is meaningless
+  on TPU).  Head-major keeps every attention contraction a direct batched
+  matmul (no transposes in the decode hot path) and gives the Pallas decode
+  kernel contiguous [S, Dh] tiles per head.
 """
 
 from __future__ import annotations
@@ -189,7 +192,29 @@ def _embed(params, tokens, cfg) -> jax.Array:
 def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
     if n_rep == 1:
         return x
-    return jnp.repeat(x, n_rep, axis=2)  # [B, S, H_kv, Dh] -> [B, S, H, Dh]
+    return jnp.repeat(x, n_rep, axis=1)  # [B, H_kv, S, Dh] -> [B, H, S, Dh]
+
+
+def _attention(
+    q: jax.Array,  # [B, Sq, H, Dh]
+    k_all: jax.Array,  # [B, H_kv, Sk, Dh] (head-major)
+    v_all: jax.Array,  # [B, H_kv, Sk, Dh]
+    mask: Optional[jax.Array],
+    n_rep: int,
+    dtype,
+) -> jax.Array:
+    """Masked softmax attention; returns ctx [B, Sq, H*Dh]."""
+    b, sq, h, dh = q.shape
+    qh = q.transpose(0, 2, 1, 3)  # [B, H, Sq, Dh]
+    k_rep = _repeat_kv(k_all, n_rep)
+    v_rep = _repeat_kv(v_all, n_rep)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, k_rep).astype(jnp.float32)
+    scores = scores * (dh**-0.5)
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v_rep)
+    return ctx.transpose(0, 2, 1, 3).reshape(b, sq, h * dh)
 
 
 # ---------------------------------------------------------------------------
@@ -209,9 +234,9 @@ def llama_block(
 ):
     """One decoder block.
 
-    ``kv``: (k_cache, v_cache) each [B, S_max, H_kv, Dh]; when given, this
-    block's K/V are written at ``cache_pos`` and attention runs over the cache.
-    Returns (x_out, new_kv, captured-intermediates-or-None).
+    ``kv``: (k_cache, v_cache) each [B, H_kv, S_max, Dh] head-major; when
+    given, this block's K/V are written at ``cache_pos`` and attention runs
+    over the cache.  Returns (x_out, new_kv, captured-intermediates-or-None).
     """
     b, s, d = x.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -232,19 +257,21 @@ def llama_block(
 
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    kh = k.transpose(0, 2, 1, 3)  # [B, H_kv, S, Dh] head-major
+    vh = v.transpose(0, 2, 1, 3)
 
     if kv is not None:
         k_cache, v_cache = kv
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, cache_pos, 0, 0)
+            k_cache, kh.astype(k_cache.dtype), (0, 0, cache_pos, 0)
         )
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, cache_pos, 0, 0)
+            v_cache, vh.astype(v_cache.dtype), (0, 0, cache_pos, 0)
         )
         k_all, v_all = k_cache.astype(dtype), v_cache.astype(dtype)
         new_kv = (k_cache, v_cache)
     else:
-        k_all, v_all = k, v
+        k_all, v_all = kh, vh
         new_kv = None
 
     if s == 1 and kv is not None and _pallas_attn_enabled():
@@ -255,17 +282,7 @@ def llama_block(
         ctx = decode_attention(q[:, 0], k_all, v_all, cache_pos)
         ctx = ctx.reshape(b, 1, hq * dh)
     else:
-        k_rep = _repeat_kv(k_all, hq // hkv)
-        v_rep = _repeat_kv(v_all, hq // hkv)
-
-        # [B, H, S_q, S_k]
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_rep).astype(jnp.float32)
-        scores = scores * (dh**-0.5)
-        if mask is not None:
-            scores = scores + mask
-        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_rep)
-        ctx = ctx.reshape(b, s, hq * dh)
+        ctx = _attention(q, k_all, v_all, mask, hq // hkv, dtype)
 
     # OGR: o_proj's input is in head order and cannot be statically permuted;
     # reordered models carry a per-block gather (reference qlinear.py:273-275)
@@ -322,15 +339,20 @@ def llama_forward(params: Dict, tokens: jax.Array, cfg: LlamaConfig) -> jax.Arra
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
+    """Head-major static cache: [L, B, H_kv, S_max, Dh]."""
     dtype = dtype or cfg.dtype
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def cache_max_len(cache: Dict) -> int:
+    return cache["k"].shape[3]
+
+
 def llama_prefill(params: Dict, tokens: jax.Array, cache: Dict, cfg: LlamaConfig):
-    """Prefill: fills cache[:, :, :S], returns (logits [B, S, V], cache)."""
+    """Prefill: fills cache[..., :S, :], returns (logits [B, S, V], cache)."""
     b, s = tokens.shape
-    max_len = cache["k"].shape[2]
+    max_len = cache_max_len(cache)
     x = _embed(params, tokens, cfg)
     pos = jnp.arange(s)[None, :]
     cos, sin = rope_tables(cfg, pos)
@@ -362,7 +384,7 @@ def llama_forward_window(
     Returns (logits [B, W, V], new cache).
     """
     b, w = tokens.shape
-    max_len = cache["k"].shape[2]
+    max_len = cache_max_len(cache)
     x = _embed(params, tokens, cfg)
     positions = pos + jnp.arange(w)[None, :]
     cos, sin = rope_tables(cfg, positions)
@@ -394,7 +416,7 @@ def llama_decode_step_ragged(
     reference, which is single-sequence).
     """
     b = tokens.shape[0]
-    max_len = cache["k"].shape[2]
+    max_len = cache_max_len(cache)
     x = _embed(params, tokens, cfg)  # [B, 1, D]
     cos, sin = rope_tables(cfg, pos[:, None])  # [B, 1, Dh]
     valid = jnp.arange(max_len)[None, None, None, :] <= pos[:, None, None, None]
@@ -402,8 +424,9 @@ def llama_decode_step_ragged(
 
     def write_at(cache_l, new):
         # per-sequence scatter: vmap a length-1 dynamic update over the batch
+        # cache_l: [B, H_kv, S, Dh]; new: [B, H_kv, 1, Dh]
         def one(c, n, p):
-            return jax.lax.dynamic_update_slice(c, n, (p, 0, 0))
+            return jax.lax.dynamic_update_slice(c, n, (0, p, 0))
 
         return jax.vmap(one)(cache_l, new, pos)
 
@@ -424,14 +447,9 @@ def llama_decode_step_ragged(
             v = apply_linear(blk["v"], h, dtype).reshape(b, 1, hkv, dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kc = write_at(kc, k.astype(kc.dtype))
-        vc = write_at(vc, v.astype(vc.dtype))
-        k_rep = _repeat_kv(kc.astype(dtype), hq // hkv)
-        v_rep = _repeat_kv(vc.astype(dtype), hq // hkv)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_rep).astype(jnp.float32)
-        scores = scores * (dh**-0.5) + mask
-        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_rep).reshape(b, 1, hq * dh)
+        kc = write_at(kc, k.transpose(0, 2, 1, 3).astype(kc.dtype))
+        vc = write_at(vc, v.transpose(0, 2, 1, 3).astype(vc.dtype))
+        ctx = _attention(q, kc.astype(dtype), vc.astype(dtype), mask, hq // hkv, dtype)
         o_in = ctx
         if "o_reorder" in blk:
             o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
@@ -461,7 +479,7 @@ def llama_decode_step(
     Returns (logits [B, V], new cache).
     """
     b = token.shape[0]
-    max_len = cache["k"].shape[2]
+    max_len = cache_max_len(cache)
     x = _embed(params, token, cfg)  # [B, 1, D]
     cos, sin = rope_tables(cfg, pos[None, None])
     # attend to positions <= pos

@@ -49,9 +49,8 @@ class QLinearParams:
     qweight: jax.Array  # int32 [K//8, N]
     scales: jax.Array  # [G, N]
     scaled_zeros: jax.Array  # [G, N]
-    oweight: Optional[jax.Array]  # [r, N] or None
-    bias: Optional[jax.Array]  # [N] or None
-    reorder_ids: Optional[jax.Array]  # [K] int32 (o_proj dynamic reorder) or None
+    oweight: Optional[jax.Array] = None  # [r, N] or None
+    bias: Optional[jax.Array] = None  # [N] or None
     group_size: int = dataclasses.field(default=128)
 
     @property
@@ -68,7 +67,7 @@ class QLinearParams:
 
     def tree_flatten(self):
         children = (self.qweight, self.scales, self.scaled_zeros, self.oweight,
-                    self.bias, self.reorder_ids)
+                    self.bias)
         return children, (self.group_size,)
 
     @classmethod
@@ -128,7 +127,6 @@ def pack_layer(
     sym: bool = False,
     bits: int = 4,
     bias: Optional[jax.Array] = None,
-    reorder_ids: Optional[jax.Array] = None,
     dtype=jnp.bfloat16,
 ) -> QLinearParams:
     """Pack one reordered fake-quantized layer into the TPU layout.
@@ -174,7 +172,6 @@ def pack_layer(
         scaled_zeros=scaled_zeros,
         oweight=oweight,
         bias=None if bias is None else bias.astype(dtype),
-        reorder_ids=reorder_ids,
         group_size=group_size,
     )
 

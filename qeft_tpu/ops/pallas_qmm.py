@@ -35,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -169,3 +170,137 @@ def qgemv(x: jax.Array, p: QLinearParams, dtype=jnp.bfloat16) -> jax.Array:
 def qgemm(x: jax.Array, p: QLinearParams, dtype=jnp.bfloat16) -> jax.Array:
     """Prefill/training path: many tokens, MXU bound."""
     return _flatten_call(x, p, bm=128, bn=256, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# transposed GEMM for the training backward (grad_input = g @ W_deq^T)
+
+
+def _qmm_t_kernel(g_ref, qw_ref, s_ref, sz_ref, out_ref, acc_ref, *, h: int, bk8: int):
+    """One (m-tile, k8-tile, n-tile) grid step of dx = g @ W_deq^T.
+
+    g: [BM, BN] output-cotangent tile; qw: [BK8, BN] packed int32 tile;
+    s/sz: [Gp, BN] full (padded) group params for this n-tile;
+    out: [BM, 8*BK8] — within-block column p*BK8 + u is packed-word row
+    j*BK8 + u, nibble plane p (the host side inverse-permutes to original K
+    order).  The n grid dim is an accumulation (reduction) dimension.
+    """
+    j = pl.program_id(1)
+    n_idx = pl.program_id(2)
+    n_n = pl.num_programs(2)
+
+    @pl.when(n_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qw = qw_ref[:]  # [BK8, BN] int32
+    gp = s_ref.shape[0]
+    # per-packed-row group select via a 0/1 expansion dot (all 2D, see
+    # _qmm_kernel): row r of this tile belongs to group (j*BK8 + r) // h
+    rows = (j * bk8 + jax.lax.broadcasted_iota(jnp.int32, (bk8, gp), 0)) // h
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bk8, gp), 1)
+    expand = (rows == cols).astype(jnp.float32)
+    s_exp = jnp.dot(expand, s_ref[:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    sz_exp = jnp.dot(expand, sz_ref[:].astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+
+    gblk = g_ref[:]
+    cdtype = gblk.dtype
+    for p in range(8):
+        plane = (qw >> (4 * p)) & 0xF
+        wp = (plane.astype(jnp.float32) * s_exp + sz_exp).astype(cdtype)
+        # dx_p = g @ wp^T: contract both operands on their N (lane) dim
+        dxp = jax.lax.dot_general(
+            gblk, wp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BM, BK8]
+        acc_ref[:, p * bk8 : (p + 1) * bk8] += dxp
+
+    @pl.when(n_idx == n_n - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _pick_bk8(k8: int) -> int:
+    """Largest divisor of K/8 that is <=128 and a multiple of 16 (so the
+    output tile's lane dim 8*BK8 is 128-aligned)."""
+    cand = 128
+    while cand >= 16:
+        if k8 % cand == 0:
+            return cand
+        cand -= 16
+    return k8  # tiny layers: single tile
+
+
+def _plane_tile_inverse_ids(k: int, g: int, bk8: int) -> np.ndarray:
+    """index array inv st dx[:, k] = dx_raw[:, inv[k]] undoes the kernel's
+    (tile, plane, row) output ordering back to original K order."""
+    h = g // 8
+    ks = np.arange(k)
+    gi, rem = ks // g, ks % g
+    p, jj = rem // h, rem % h
+    w = gi * h + jj  # packed-word row
+    jtile, u = w // bk8, w % bk8
+    return (jtile * (8 * bk8) + p * bk8 + u).astype(np.int32)
+
+
+def qgemm_t(g: jax.Array, p: QLinearParams, dtype=jnp.bfloat16, bm: int = 128,
+            bn: int = 512) -> jax.Array:
+    """dx = g @ W_deq^T streamed from the packed codes (training backward).
+
+    ``g``: [..., N] cotangent of the dense output; returns [..., K].  The
+    outlier rows of W_deq are exactly zero (packing contract), so the fp slab
+    contribution is added by the caller.  TPU-native counterpart of the
+    reference's grad_input matmul (/root/reference/qeft/qlinear.py:38-44) with
+    the true transpose.
+    """
+    lead = g.shape[:-1]
+    n = g.shape[-1]
+    k = p.in_features
+    k8 = k // 8
+    gsz = p.group_size if p.group_size > 0 else k
+    h = gsz // 8
+    n_groups = k // gsz
+
+    g2 = g.reshape(-1, n)
+    m = g2.shape[0]
+    if m < bm:
+        g2 = jnp.pad(g2, ((0, bm - m), (0, 0)))
+    bn = _pick_bn(n, bn)
+    bk8 = _pick_bk8(k8)
+    grid = (-(-g2.shape[0] // bm), k8 // bk8, n // bn)
+
+    gp = max(8, -(-n_groups // 8) * 8)
+    scales = jnp.pad(p.scales, ((0, gp - n_groups), (0, 0)))
+    szeros = jnp.pad(p.scaled_zeros, ((0, gp - n_groups), (0, 0)))
+
+    kernel = functools.partial(_qmm_t_kernel, h=h, bk8=bk8)
+    flops = 2 * m * k * n
+    bytes_accessed = k * n // 2 + 2 * m * n + 2 * m * k + 2 * gp * n * 2
+    raw = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((grid[0] * bm, k), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda i, j, ni: (i, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk8, bn), lambda i, j, ni: (j, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gp, bn), lambda i, j, ni: (0, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gp, bn), lambda i, j, ni: (0, ni), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, 8 * bk8), lambda i, j, ni: (i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((bm, 8 * bk8), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=_interpret(),
+    )(g2.astype(dtype), p.qweight, scales, szeros)
+
+    inv = jnp.asarray(_plane_tile_inverse_ids(k, gsz, bk8))
+    dx = jnp.take(raw[:m], inv, axis=1)
+    return dx.reshape(*lead, k)

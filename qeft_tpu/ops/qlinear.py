@@ -1,18 +1,32 @@
-"""Forward paths of the packed mixed-precision linear.
+"""Forward + backward of the packed mixed-precision linear.
 
 Dispatch mirrors the reference's kernel selection (qlinear.py:217-330):
 few-token calls take the fused dequant-matvec (Pallas) decode path, larger
-calls take the dequant-GEMM prefill path; layers with an input permutation
-(o_proj) gather their input first.  All shapes are static under jit, so the
-dispatch is resolved at trace time.
+calls take the dequant-GEMM prefill path.  All shapes are static under jit,
+so the dispatch is resolved at trace time.
+
+Training: `qlinear_apply` carries a `jax.custom_vjp`, so WCT fine-tuning
+differentiates THROUGH the Pallas forward (pallas_call has no autodiff rule
+of its own).  The backward is the TPU-native counterpart of the reference's
+`QuantMatMulQEFT.backward` (/root/reference/qeft/qlinear.py:28-44) with its
+square-layer-only quirk fixed:
+
+    grad_input   = g @ W_deq^T              (true transpose; Pallas `qgemm_t`
+                                             streams the packed codes, or the
+                                             XLA dequant path off-TPU)
+                 + pad_last_r(g @ oweight^T) (fp weak-column slab)
+    grad_oweight = x[..., -r:]^T @ g        (the only trainable parameter)
+    grad_bias    = sum g
 """
 
 from __future__ import annotations
 
+import os
+from functools import partial
+
 import jax
 import jax.numpy as jnp
-
-import os
+import numpy as np
 
 from qeft_tpu.ops.packing import QLinearParams, dequantize_weight
 
@@ -34,9 +48,8 @@ def pallas_enabled() -> bool:
 def qlinear_xla(x: jax.Array, p: QLinearParams, dtype=jnp.bfloat16) -> jax.Array:
     """Pure-XLA reference path: dequantize then matmul.
 
-    Used for CPU tests, as the autodiff-friendly training forward, and as the
-    prefill path until/unless the Pallas GEMM beats XLA's fusion.  XLA fuses
-    the unpack+dequant into the matmul's operand read on TPU.
+    Used for CPU tests and as the non-TPU fallback.  XLA fuses the
+    unpack+dequant into the matmul's operand read on TPU.
     """
     w = dequantize_weight(p, dtype)  # [K, N]; outlier rows are exactly 0
     y = jnp.matmul(x.astype(dtype), w)
@@ -48,27 +61,111 @@ def qlinear_xla(x: jax.Array, p: QLinearParams, dtype=jnp.bfloat16) -> jax.Array
     return y
 
 
+# ---------------------------------------------------------------------------
+# custom-vjp core: primal args are the individual buffers so cotangents can be
+# returned per-leaf (oweight is the trainable one; int qweight gets float0)
+
+
+def _num_tokens(x: jax.Array) -> int:
+    tokens = 1
+    for d in x.shape[:-1]:
+        tokens *= d
+    return tokens
+
+
+def _forward_impl(spec, x, qweight, scales, scaled_zeros, oweight, bias):
+    group_size, use_pallas, dtype_name = spec
+    dtype = jnp.dtype(dtype_name)
+    p = QLinearParams(
+        qweight=qweight, scales=scales, scaled_zeros=scaled_zeros,
+        oweight=oweight, bias=bias, group_size=group_size,
+    )
+    if use_pallas and pallas_enabled():
+        from qeft_tpu.ops import pallas_qmm
+
+        if _num_tokens(x) < DECODE_MAX_TOKENS:
+            return pallas_qmm.qgemv(x, p, dtype=dtype)
+        return pallas_qmm.qgemm(x, p, dtype=dtype)
+    return qlinear_xla(x, p, dtype=dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _qlinear_core(spec, x, qweight, scales, scaled_zeros, oweight, bias):
+    return _forward_impl(spec, x, qweight, scales, scaled_zeros, oweight, bias)
+
+
+def _core_fwd(spec, x, qweight, scales, scaled_zeros, oweight, bias):
+    y = _forward_impl(spec, x, qweight, scales, scaled_zeros, oweight, bias)
+    return y, (x, qweight, scales, scaled_zeros, oweight, bias)
+
+
+def _core_bwd(spec, res, g):
+    x, qweight, scales, scaled_zeros, oweight, bias = res
+    group_size, use_pallas, dtype_name = spec
+    dtype = jnp.dtype(dtype_name)
+    p = QLinearParams(
+        qweight=qweight, scales=scales, scaled_zeros=scaled_zeros,
+        oweight=oweight, bias=bias, group_size=group_size,
+    )
+    n = g.shape[-1]
+    k = x.shape[-1]
+    g2 = g.reshape(-1, n)
+    x2 = x.reshape(-1, k)
+
+    # dense part: dx = g @ W_deq^T (outlier rows of W_deq are exactly zero)
+    if use_pallas and pallas_enabled():
+        from qeft_tpu.ops import pallas_qmm
+
+        dx2 = pallas_qmm.qgemm_t(g2, p, dtype=dtype).astype(jnp.float32)
+    else:
+        w = dequantize_weight(p, dtype)  # [K, N]
+        dx2 = jax.lax.dot_general(
+            g2.astype(dtype), w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if oweight is not None:
+        r = oweight.shape[0]
+        ow = oweight.astype(dtype)
+        dx_out = jax.lax.dot_general(
+            g2.astype(dtype), ow, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [M, r]
+        dx2 = dx2.at[:, k - r :].add(dx_out)
+        dow = jax.lax.dot_general(
+            x2[:, k - r :].astype(dtype), g2.astype(dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(oweight.dtype)  # [r, N]
+    else:
+        dow = None
+
+    dbias = None if bias is None else jnp.sum(g2, axis=0).astype(bias.dtype)
+    dx = dx2.reshape(x.shape).astype(x.dtype)
+
+    # frozen buffers: int codes get float0 (non-differentiable), float
+    # scale/zero buffers get symbolic-cheap zeros (DCE'd — only oweight is
+    # ever requested by the WCT optimizer)
+    dqw = np.zeros(qweight.shape, dtype=jax.dtypes.float0)
+    ds = jnp.zeros_like(scales)
+    dsz = jnp.zeros_like(scaled_zeros)
+    return (dx, dqw, ds, dsz, dow, dbias)
+
+
+_qlinear_core.defvjp(_core_fwd, _core_bwd)
+
+
 def qlinear_apply(
     x: jax.Array,
     p: QLinearParams,
     use_pallas: bool = True,
     dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """Main entry: dynamic-reorder gather (if any) + kernel dispatch.
+    """Main entry: kernel dispatch with a training-safe custom vjp.
 
     ``x``: [..., K].  Returns [..., N].
     """
-    if p.reorder_ids is not None:
-        x = jnp.take(x, p.reorder_ids, axis=-1)
-
-    tokens = 1
-    for d in x.shape[:-1]:
-        tokens *= d
-
-    if use_pallas and pallas_enabled():
-        from qeft_tpu.ops import pallas_qmm
-
-        if tokens < DECODE_MAX_TOKENS:
-            return pallas_qmm.qgemv(x, p, dtype=dtype)
-        return pallas_qmm.qgemm(x, p, dtype=dtype)
-    return qlinear_xla(x, p, dtype=dtype)
+    spec = (p.group_size, bool(use_pallas), jnp.dtype(dtype).name)
+    return _qlinear_core(
+        spec, x, p.qweight, p.scales, p.scaled_zeros, p.oweight, p.bias
+    )

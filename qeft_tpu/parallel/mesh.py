@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from qeft_tpu.models.registry import ModelMeta
 
 # QLinearParams flattens to this field order (ops/packing.py tree_flatten)
-_QFIELDS = ("qweight", "scales", "scaled_zeros", "oweight", "bias", "reorder_ids")
+_QFIELDS = ("qweight", "scales", "scaled_zeros", "oweight", "bias")
 
 
 def make_mesh(shape=None, axis_names=("dp", "tp"), devices=None) -> Mesh:
@@ -65,9 +65,8 @@ def _linear_spec(field: str, shard_n: bool, stacked: bool) -> P:
         return P(*pre, None, "tp") if shard_n else P(*pre, None, None)
     if field == "oweight":
         return P(*pre, None, "tp")  # balanced rank-r GEMM either way
-    if field == "bias":
-        return P(*pre, "tp") if shard_n else P(*pre, None)
-    return P(*pre, None)  # reorder_ids
+    assert field == "bias", field
+    return P(*pre, "tp") if shard_n else P(*pre, None)
 
 
 def param_shardings(params: Dict, mesh: Mesh, meta: ModelMeta) -> Dict:
@@ -104,14 +103,14 @@ def param_shardings(params: Dict, mesh: Mesh, meta: ModelMeta) -> Dict:
 
 
 def cache_shardings(mesh: Mesh, batch: int = 0, n_kv_heads: int = 0) -> Dict:
-    """KV cache [L, B, S, H_kv, Dh]: batch over dp, heads over tp.
+    """Head-major KV cache [L, B, H_kv, S, Dh]: batch over dp, heads over tp.
 
     Axes that don't divide the mesh (small batch, few GQA kv heads) fall back
     to replication.
     """
     dp = "dp" if batch and batch % mesh.shape.get("dp", 1) == 0 else None
     tp = "tp" if n_kv_heads and n_kv_heads % mesh.shape.get("tp", 1) == 0 else None
-    spec = P(None, dp, None, tp, None)
+    spec = P(None, dp, tp, None, None)
     return {"k": NamedSharding(mesh, spec), "v": NamedSharding(mesh, spec)}
 
 

@@ -35,6 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from qeft_tpu.models.llama import (
     LlamaConfig,
     _act,
+    _attention,
     _embed,
     apply_linear,
     apply_rope,
@@ -79,7 +80,7 @@ def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig) -> Dict:
             scales=put(lin.scales, P(None, None, "tp")),
             scaled_zeros=put(lin.scaled_zeros, P(None, None, "tp")),
             oweight=put(lin.oweight, P(None, None, "tp")),
-            bias=None, reorder_ids=None,
+            bias=None,
         )
 
     def put_row(lin: QLinearParams):
@@ -89,7 +90,7 @@ def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig) -> Dict:
             scales=put(lin.scales, P(None, None, None)),
             scaled_zeros=put(lin.scaled_zeros, P(None, None, None)),
             oweight=put(lin.oweight, P(None, None, None)),
-            bias=None, reorder_ids=None,
+            bias=None,
         )
 
     rep = lambda a: put(a, P(*(None,) * a.ndim))
@@ -135,7 +136,7 @@ def _row_parallel_apply(lin: QLinearParams, x_full, my, tp, dtype):
         lin,
         scales=jax.lax.dynamic_slice_in_dim(lin.scales, my * gsh, gsh, axis=0),
         scaled_zeros=jax.lax.dynamic_slice_in_dim(lin.scaled_zeros, my * gsh, gsh, axis=0),
-        oweight=None, reorder_ids=None, group_size=lin.group_size,
+        oweight=None, group_size=lin.group_size,
     )
     part = apply_linear(local, x_my, dtype)
     if lin.oweight is not None:
@@ -178,7 +179,6 @@ def tp_decode_step(
             qweight=qw, scales=sc, scaled_zeros=sc,
             oweight=ow if leaf.oweight is not None else None,
             bias=P(None, "tp") if leaf.bias is not None else None,
-            reorder_ids=P(None, None) if leaf.reorder_ids is not None else None,
             group_size=leaf.group_size,
         )
 
@@ -194,9 +194,10 @@ def tp_decode_step(
         "final_ln": P(None),
         "lm_head": P(None, "tp"),
     }
+    # head-major cache [L, B, H_kv, S, Dh]: shard over kv heads
     cache_specs = {
-        "k": P(None, None, None, "tp", None),
-        "v": P(None, None, None, "tp", None),
+        "k": P(None, None, "tp", None, None),
+        "v": P(None, None, "tp", None, None),
     }
 
     @partial(
@@ -212,12 +213,12 @@ def tp_decode_step(
         dtype = params["embed"].dtype
         x = _embed(params, token, cfg)
         cos, sin = rope_tables(cfg, pos[None, None])
-        max_len = cache["k"].shape[2]
+        max_len = cache["k"].shape[3]
         valid = jnp.arange(max_len)[None, None, None, :] <= pos
         mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
 
         def body(xc, inp):
-            blk, kc, vc = inp  # kc/vc: [B, S, hkv_l, dh] local heads
+            blk, kc, vc = inp  # kc/vc: [B, hkv_l, S, dh] local heads (head-major)
             h = rms_norm(xc, blk["input_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
             qkv = apply_linear(blk["qkv"], h, dtype)  # local [q_t|k_t|v_t]
             q = qkv[..., : hq_l * dh].reshape(b, 1, hq_l, dh)
@@ -225,15 +226,15 @@ def tp_decode_step(
             v = qkv[..., (hq_l + hkv_l) * dh :].reshape(b, 1, hkv_l, dh)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, pos, 0, 0))
-            vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, pos, 0, 0))
-            n_rep = hq_l // hkv_l
-            k_rep = jnp.repeat(kc.astype(dtype), n_rep, axis=2)
-            v_rep = jnp.repeat(vc.astype(dtype), n_rep, axis=2)
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_rep).astype(jnp.float32)
-            scores = scores * (dh**-0.5) + mask
-            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_rep).reshape(b, 1, hq_l * dh)
+            kc = jax.lax.dynamic_update_slice(
+                kc, k.transpose(0, 2, 1, 3).astype(kc.dtype), (0, 0, pos, 0)
+            )
+            vc = jax.lax.dynamic_update_slice(
+                vc, v.transpose(0, 2, 1, 3).astype(vc.dtype), (0, 0, pos, 0)
+            )
+            ctx = _attention(
+                q, kc.astype(dtype), vc.astype(dtype), mask, hq_l // hkv_l, dtype
+            )
 
             # heads were interleaved shard-contiguously, so the tiled gather
             # reassembles the FULL head-ordered context

@@ -22,7 +22,7 @@ def random_packed_linear(key, k, n, g=128, r=128) -> QLinearParams:
     ow = (jax.random.normal(ks[3], (r, n)) * 0.02).astype(jnp.bfloat16)
     return QLinearParams(
         qweight=qweight, scales=scales, scaled_zeros=szeros, oweight=ow,
-        bias=None, reorder_ids=None, group_size=g,
+        bias=None, group_size=g,
     )
 
 

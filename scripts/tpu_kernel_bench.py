@@ -18,7 +18,7 @@ scales = jnp.asarray(rng.random((K // G, N)).astype(np.float32) * 0.02 + 0.01, d
 szeros = jnp.asarray(-rng.random((K // G, N)).astype(np.float32) * 0.1, dtype=jnp.bfloat16)
 ow = jnp.asarray(rng.normal(size=(R, N)).astype(np.float32) * 0.02, dtype=jnp.bfloat16)
 p = QLinearParams(qweight=qweight, scales=scales, scaled_zeros=szeros,
-                  oweight=ow, bias=None, reorder_ids=None, group_size=G)
+                  oweight=ow, bias=None, group_size=G)
 
 
 def bench(f, x, iters):

@@ -7,19 +7,19 @@ from qeft_tpu.ops.pallas_attention import decode_attention
 
 
 def reference_attention(q, k_cache, v_cache, pos):
-    """Masked single-query attention oracle in NumPy."""
+    """Masked single-query attention oracle in NumPy (head-major cache)."""
     b, h, d = q.shape
-    _, s, hkv, _ = k_cache.shape
+    _, hkv, s, _ = k_cache.shape
     n_rep = h // hkv
     out = np.zeros_like(q)
     for bi in range(b):
         for hi in range(h):
             kv = hi // n_rep
-            scores = k_cache[bi, :, kv, :] @ q[bi, hi] * (d**-0.5)
+            scores = k_cache[bi, kv, :, :] @ q[bi, hi] * (d**-0.5)
             scores[pos + 1 :] = -np.inf
             p = np.exp(scores - scores.max())
             p /= p.sum()
-            out[bi, hi] = p @ v_cache[bi, :, kv, :]
+            out[bi, hi] = p @ v_cache[bi, kv, :, :]
     return out
 
 
@@ -28,8 +28,8 @@ def test_decode_attention_matches_oracle(pos, blk):
     rng = np.random.default_rng(0)
     b, h, hkv, d, s = 2, 8, 4, 128, 64
     q = rng.normal(size=(b, h, d)).astype(np.float32)
-    k = rng.normal(size=(b, s, hkv, d)).astype(np.float32)
-    v = rng.normal(size=(b, s, hkv, d)).astype(np.float32)
+    k = rng.normal(size=(b, hkv, s, d)).astype(np.float32)
+    v = rng.normal(size=(b, hkv, s, d)).astype(np.float32)
 
     out = np.asarray(
         decode_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), pos, blk=blk)
@@ -42,8 +42,8 @@ def test_decode_attention_mha():
     rng = np.random.default_rng(1)
     b, h, d, s = 1, 4, 128, 32
     q = rng.normal(size=(b, h, d)).astype(np.float32)
-    k = rng.normal(size=(b, s, h, d)).astype(np.float32)
-    v = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, s, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, s, d)).astype(np.float32)
     out = np.asarray(
         decode_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 10, blk=8)
     )

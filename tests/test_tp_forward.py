@@ -51,9 +51,9 @@ def test_tp_decode_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(logits), np.asarray(ref_logits), rtol=2e-3, atol=2e-3,
         )
-        # cache updated at pos 4 identically
+        # cache updated at pos 4 identically (head-major slot dim = 3)
         np.testing.assert_allclose(
-            np.asarray(new_cache["k"][:, :, 4]),
-            np.asarray(ref_cache["k"][:, :, 4]),
+            np.asarray(new_cache["k"][:, :, :, 4]),
+            np.asarray(ref_cache["k"][:, :, :, 4]),
             rtol=2e-3, atol=2e-3,
         )
