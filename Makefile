@@ -22,6 +22,18 @@ verify-cli:
 	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.main \
 	    tiny synthetic --load /tmp/qeft_verify/ckpt_packed --eval \
 	    --eval_windows 2 --seqlen 32 --benchmark 8
+	# same workflow for the OPT family (family rides the ckpt manifest)
+	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.extract_outidx \
+	    opt-tiny synthetic --wbits 4 --target_rank 8 --groupsize 64 --no_frob_norm \
+	    --nsamples 2 --seqlen 32 --output_dir /tmp/qeft_verify/oidx_opt
+	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.main \
+	    opt-tiny synthetic --wbits 4 --target_rank 8 --groupsize 64 --no_frob_norm \
+	    --nsamples 2 --seqlen 32 --reorder \
+	    --outidx_file /tmp/qeft_verify/oidx_opt/w4_r8/outidx.npy \
+	    --packing --save /tmp/qeft_verify/ckpt_opt --eval --eval_windows 2
+	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.main \
+	    opt-tiny synthetic --load /tmp/qeft_verify/ckpt_opt_packed --eval \
+	    --eval_windows 2 --seqlen 32 --benchmark 8
 
 clean:
 	rm -rf .pytest_cache __pycache__ native/libqeft_host.so

@@ -106,16 +106,18 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
     return tree
 
 
-def _cfg_to_dict(cfg: LlamaConfig) -> Dict:
+def _cfg_to_dict(cfg) -> Dict:
     d = dataclasses.asdict(cfg)
     d["dtype"] = jnp.dtype(cfg.dtype).name
     return d
 
 
-def _cfg_from_dict(d: Dict) -> LlamaConfig:
+def _cfg_from_dict(d: Dict, family: str = "llama"):
+    from qeft_tpu.models.api import get_model_api
+
     d = dict(d)
     d["dtype"] = jnp.dtype(d["dtype"])
-    return LlamaConfig(**d)
+    return get_model_api(family).config_cls(**d)
 
 
 def _save(path: str, params: Dict, manifest: Dict):
@@ -141,7 +143,7 @@ def _load(path: str) -> Tuple[Dict, Dict]:
 # public API
 
 
-def save_fake(path: str, params: Dict, quantizers: Dict, cfg: LlamaConfig, family: str = "llama"):
+def save_fake(path: str, params: Dict, quantizers: Dict, cfg, family: str = "llama"):
     """Fake-quantized full-precision checkpoint (+ quantizer states for later
     packing, like the reference's out_ids_dict + quantinfos)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -188,18 +190,21 @@ def load_fake(path: str):
             out_ids=jnp.asarray(fields["out_ids"]),
             sym=bool(sym), bits=int(bits), group_size=int(group_size),
         )
+    family = manifest.get("family", "llama")
     params = _unflatten(param_flat)
-    return params, qstates, _cfg_from_dict(manifest["config"])
+    return params, qstates, _cfg_from_dict(manifest["config"], family), family
 
 
-def save_packed(path: str, packed_params: Dict, cfg: LlamaConfig, family: str = "llama"):
+def save_packed(path: str, packed_params: Dict, cfg, family: str = "llama"):
     _save(path, packed_params, {"format": "packed", "family": family, "config": _cfg_to_dict(cfg)})
 
 
 def load_packed(path: str):
+    """-> (packed params, config, family)."""
     params, manifest = _load(path)
     assert manifest["format"] == "packed", manifest["format"]
-    return params, _cfg_from_dict(manifest["config"])
+    family = manifest.get("family", "llama")
+    return params, _cfg_from_dict(manifest["config"], family), family
 
 
 def save_wct(path: str, oweights: Dict, base_path: str):
@@ -223,7 +228,7 @@ def load_wct(path: str):
     with open(mpath) as f:
         manifest = json.load(f)
     assert manifest["format"] == "wct", manifest["format"]
-    params, cfg = load_packed(manifest["base_path"])
+    params, cfg, family = load_packed(manifest["base_path"])
     with np.load(npz) as z:
         for k in z.files:
             key, val = _decode(k, z[k])
@@ -232,11 +237,14 @@ def load_wct(path: str):
             params["layers"][name] = dataclasses.replace(
                 lin, oweight=jnp.asarray(val).astype(lin.scales.dtype)
             )
-    return params, cfg
+    return params, cfg, family
 
 
 def load_model(path: str):
-    """Format sniffing dispatch (reference modelutils.py:107-120)."""
+    """Format sniffing dispatch (reference modelutils.py:107-120).
+
+    -> (params, config, family) for every format.
+    """
     mpath = (path[:-4] if path.endswith(".npz") else path) + ".json"
     with open(mpath) as f:
         fmt = json.load(f)["format"]
@@ -245,6 +253,6 @@ def load_model(path: str):
     if fmt == "wct":
         return load_wct(path)
     if fmt == "fake":
-        params, _, cfg = load_fake(path)
-        return params, cfg
+        params, _, cfg, family = load_fake(path)
+        return params, cfg, family
     raise ValueError(f"unknown checkpoint format {fmt}")

@@ -10,19 +10,19 @@ correctness oracle, README.md:55-59).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qeft_tpu.models.llama import LlamaConfig, llama_forward
+from qeft_tpu.models.api import ModelApi, get_model_api
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _window_nll(params: Dict, tokens: jax.Array, cfg: LlamaConfig) -> jax.Array:
+@partial(jax.jit, static_argnames=("cfg", "api"))
+def _window_nll(params: Dict, tokens: jax.Array, cfg, api: ModelApi) -> jax.Array:
     """Sum of next-token negative log-likelihoods over one [1, S] window."""
-    logits = llama_forward(params, tokens, cfg).astype(jnp.float32)
+    logits = api.forward(params, tokens, cfg).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     tgt = tokens[:, 1:]
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
@@ -32,11 +32,14 @@ def _window_nll(params: Dict, tokens: jax.Array, cfg: LlamaConfig) -> jax.Array:
 def eval_ppl(
     params: Dict,
     test_tokens: np.ndarray,
-    cfg: LlamaConfig,
+    cfg,
     seqlen: int = 2048,
     max_windows: int = 0,
+    api: Optional[ModelApi] = None,
+    family: str = "llama",
 ) -> float:
     """exp( total NLL / total predicted tokens ) over seqlen windows."""
+    api = api or get_model_api(family)
     n_windows = len(test_tokens) // seqlen
     if max_windows:
         n_windows = min(n_windows, max_windows)
@@ -45,5 +48,5 @@ def eval_ppl(
     total = 0.0
     for i in range(n_windows):
         window = jnp.asarray(test_tokens[i * seqlen : (i + 1) * seqlen])[None, :]
-        total += float(_window_nll(params, window, cfg))
+        total += float(_window_nll(params, window, cfg, api))
     return float(np.exp(total / (n_windows * (seqlen - 1))))

@@ -45,18 +45,23 @@ def load_model_and_meta(model: str, dtype=None):
     import jax
     import jax.numpy as jnp
 
+    from qeft_tpu.models import opt as opt_mod
     from qeft_tpu.models.llama import LLAMA_PRESETS, init_params
     from qeft_tpu.models.registry import get_model_meta
 
     if model in LLAMA_PRESETS:
         cfg = LLAMA_PRESETS[model]
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=dtype or jnp.float32)
-        meta = get_model_meta("llama")
+        meta = get_model_meta("gemma" if "gemma" in model else "llama")
+    elif model in opt_mod.OPT_PRESETS:
+        cfg = opt_mod.OPT_PRESETS[model]
+        params = opt_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype or jnp.float32)
+        meta = get_model_meta("opt")
     elif os.path.isdir(model):
-        from qeft_tpu.models.hf_loader import load_hf_llama
+        from qeft_tpu.models.hf_loader import load_hf_model
 
-        params, cfg = load_hf_llama(model, dtype=dtype or jnp.bfloat16)
-        meta = get_model_meta(model)
+        params, cfg, family = load_hf_model(model, dtype=dtype or jnp.bfloat16)
+        meta = get_model_meta(family)
     else:
         raise ValueError(f"unknown model {model}")
     return params, cfg, meta

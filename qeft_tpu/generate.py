@@ -16,12 +16,8 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from qeft_tpu.models.llama import (
-    LlamaConfig,
-    init_kv_cache,
-    llama_decode_step,
-    llama_prefill,
-)
+from qeft_tpu.models.api import ModelApi, get_model_api
+from qeft_tpu.models.llama import LlamaConfig, init_kv_cache
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,25 +37,29 @@ def _sample_token(logits: jax.Array, key: jax.Array, sc: SampleConfig) -> jax.Ar
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "sc"))
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "sc", "api"))
 def generate(
     params: Dict,
     prompt: jax.Array,
     cache: Dict,
-    cfg: LlamaConfig,
+    cfg,
     max_new_tokens: int,
     sc: SampleConfig = SampleConfig(),
     rng: Optional[jax.Array] = None,
+    api: Optional[ModelApi] = None,
 ) -> Tuple[jax.Array, Dict]:
     """prompt: [B, S_prompt] -> generated tokens [B, max_new_tokens].
 
-    The entire prefill + decode loop is one compiled program.
+    The entire prefill + decode loop is one compiled program.  ``api``
+    selects the model family's forwards (default: llama).
     """
     b, s_prompt = prompt.shape
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if api is None:
+        api = get_model_api("llama")
 
-    logits, cache = llama_prefill(params, prompt, cache, cfg)
+    logits, cache = api.prefill(params, prompt, cache, cfg)
     first = _sample_token(logits[:, -1, :], rng, sc)
 
     out_tokens = jnp.zeros((b, max_new_tokens), jnp.int32)
@@ -69,7 +69,7 @@ def generate(
         tokens, cache, key = carry
         key, sub = jax.random.split(key)
         cur = jax.lax.dynamic_slice(tokens, (0, i - 1), (b, 1))
-        logits, cache = llama_decode_step(
+        logits, cache = api.decode_step(
             params, cur, cache, jnp.int32(s_prompt + i - 1), cfg
         )
         nxt = _sample_token(logits, sub, sc)

@@ -50,8 +50,9 @@ def main():
     if args.load:
         from qeft_tpu.checkpoint import load_model as load_ckpt
 
-        params, cfg = load_ckpt(args.load)
-        meta = get_model_meta("llama")
+        # family rides the checkpoint manifest — OPT ckpts load as OPT
+        params, cfg, family = load_ckpt(args.load)
+        meta = get_model_meta(family)
         quantizers = None
     else:
         params, cfg, meta = load_model_and_meta(args.model)
@@ -89,14 +90,18 @@ def main():
         if not (args.fake or args.packing):
             raise ValueError("--save requires --fake and/or --packing")
         if args.fake:
-            save_fake(args.save + "_fake", params, quantizers, cfg)
+            save_fake(args.save + "_fake", params, quantizers, cfg, family=meta.family)
             print(f"fake ckpt -> {args.save}_fake.npz")
         if args.packing:
             from qeft_tpu.pipeline import pack_model
 
             packed = pack_model(params, quantizers, cfg, meta)
-            save_packed(args.save + "_packed", packed, cfg)
+            save_packed(args.save + "_packed", packed, cfg, family=meta.family)
             print(f"packed ckpt -> {args.save}_packed.npz")
+
+    from qeft_tpu.models.api import get_model_api
+
+    api = get_model_api(meta.family)
 
     if args.eval:
         from qeft_tpu.data import get_loaders
@@ -105,34 +110,38 @@ def main():
         for ds in [args.dataset]:
             test = get_loaders(ds, train=False, model=args.model, vocab_size=cfg.vocab_size)
             seqlen = args.seqlen or min(cfg.max_position_embeddings, 2048)
-            ppl = eval_ppl(params, test, cfg, seqlen=seqlen, max_windows=args.eval_windows)
+            ppl = eval_ppl(
+                params, test, cfg, seqlen=seqlen, max_windows=args.eval_windows, api=api
+            )
             results[f"ppl_{ds}"] = round(ppl, 4)
             print(f"{ds} ppl: {ppl:.4f}")
             if packed is not None:
                 # the reference's correctness oracle (README.md:55-59):
                 # packed-path PPL must match the fake-quant reconstruction
                 ppl_packed = eval_ppl(
-                    packed, test, cfg, seqlen=seqlen, max_windows=args.eval_windows
+                    packed, test, cfg, seqlen=seqlen, max_windows=args.eval_windows,
+                    api=api,
                 )
                 results[f"ppl_{ds}_packed"] = round(ppl_packed, 4)
                 delta = abs(ppl_packed - ppl) / max(ppl, 1e-9)
                 print(f"{ds} ppl (packed): {ppl_packed:.4f}  (fake-vs-packed delta {delta:.2%})")
 
     if args.benchmark:
-        import jax
-
         from qeft_tpu.generate import SampleConfig, generate
-        from qeft_tpu.models.llama import init_kv_cache
 
         ctx = 64
         prompt = jnp.asarray(
             np.random.default_rng(args.seed).integers(0, cfg.vocab_size, (1, ctx))
         )
-        cache = init_kv_cache(cfg, 1, ctx + args.benchmark, dtype=jnp.bfloat16)
-        tokens, _ = generate(params, prompt, cache, cfg, args.benchmark, SampleConfig())
+        cache = api.init_cache(cfg, 1, ctx + args.benchmark, dtype=jnp.bfloat16)
+        tokens, _ = generate(
+            params, prompt, cache, cfg, args.benchmark, SampleConfig(), api=api
+        )
         np.asarray(tokens)  # compile + run
         tick = time.time()
-        tokens, _ = generate(params, prompt, cache, cfg, args.benchmark, SampleConfig())
+        tokens, _ = generate(
+            params, prompt, cache, cfg, args.benchmark, SampleConfig(), api=api
+        )
         np.asarray(tokens)
         dt = time.time() - tick
         results["decode_tokens_per_s"] = round(args.benchmark / dt, 2)

@@ -1,9 +1,12 @@
-"""Load HuggingFace Llama-family checkpoints into our parameter pytree.
+"""Load HuggingFace checkpoints (llama- and opt-family) into our parameter
+pytrees.
 
 Replaces the reference's `get_hfmodel` (/root/reference/qeft/utils/modelutils.py:66-105),
 which loads a full torch model; we only need the tensors, so we read the
 safetensors shards directly (no torch, no init).  Dense linears transpose to
-our [K, N] (in-features-first) convention.
+our [K, N] (in-features-first) convention.  `load_hf_model` dispatches on
+config.json's model_type (the reference dispatches by model-name matching,
+utils/misc.py:69-95).
 """
 
 from __future__ import annotations
@@ -16,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qeft_tpu.models.llama import LlamaConfig
+from qeft_tpu.models.opt import OPTConfig
 
 _HF_LAYER_MAP = {
     "q": "self_attn.q_proj",
@@ -106,3 +110,95 @@ def load_hf_llama(path: str, dtype=jnp.bfloat16) -> Tuple[Dict, LlamaConfig]:
     else:  # tied embeddings
         params["lm_head"] = params["embed"].T
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# OPT family
+
+
+def opt_config_from_hf(path: str) -> OPTConfig:
+    with open(os.path.join(path, "config.json")) as f:
+        hc = json.load(f)
+    if hc.get("word_embed_proj_dim", hc["hidden_size"]) != hc["hidden_size"]:
+        raise NotImplementedError(
+            "OPT with word_embed_proj_dim != hidden_size (opt-350m) needs the "
+            "project_in/out layers; not supported"
+        )
+    return OPTConfig(
+        vocab_size=hc["vocab_size"],
+        hidden_size=hc["hidden_size"],
+        ffn_dim=hc["ffn_dim"],
+        num_layers=hc["num_hidden_layers"],
+        num_heads=hc["num_attention_heads"],
+        max_position_embeddings=hc.get("max_position_embeddings", 2048),
+        do_layer_norm_before=hc.get("do_layer_norm_before", True),
+    )
+
+
+_HF_OPT_MAP = {
+    "q": "self_attn.q_proj",
+    "k": "self_attn.k_proj",
+    "v": "self_attn.v_proj",
+    "o": "self_attn.out_proj",
+    "fc1": "fc1",
+    "fc2": "fc2",
+}
+
+
+def load_hf_opt(path: str, dtype=jnp.bfloat16) -> Tuple[Dict, OPTConfig]:
+    from safetensors import safe_open
+
+    cfg = opt_config_from_hf(path)
+    key_to_file, base = _open_shards(path)
+    handles = {}
+
+    def get(name: str) -> np.ndarray:
+        fname = key_to_file[name]
+        if fname not in handles:
+            handles[fname] = safe_open(os.path.join(base, fname), framework="np")
+        return handles[fname].get_tensor(name)
+
+    def arr(name):
+        return jnp.asarray(get(name), dtype=dtype)
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        pre = f"model.decoder.layers.{i}."
+        blk = {
+            "attn_ln": arr(pre + "self_attn_layer_norm.weight"),
+            "attn_ln_b": arr(pre + "self_attn_layer_norm.bias"),
+            "final_ln": arr(pre + "final_layer_norm.weight"),
+            "final_ln_b": arr(pre + "final_layer_norm.bias"),
+        }
+        for ours, theirs in _HF_OPT_MAP.items():
+            blk[ours] = jnp.asarray(get(pre + theirs + ".weight").T, dtype=dtype)
+            blk[ours + "_b"] = arr(pre + theirs + ".bias")
+        blocks.append(blk)
+
+    import jax
+
+    params = {
+        "embed": arr("model.decoder.embed_tokens.weight"),
+        "embed_pos": arr("model.decoder.embed_positions.weight"),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "final_ln": arr("model.decoder.final_layer_norm.weight"),
+        "final_ln_b": arr("model.decoder.final_layer_norm.bias"),
+    }
+    if "lm_head.weight" in key_to_file:
+        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype=dtype)
+    else:  # tied embeddings
+        params["lm_head"] = params["embed"].T
+    return params, cfg
+
+
+def load_hf_model(path: str, dtype=jnp.bfloat16):
+    """model_type dispatch -> (params, config, family)."""
+    with open(os.path.join(path, "config.json")) as f:
+        mt = json.load(f).get("model_type", "llama").lower()
+    if mt == "opt":
+        params, cfg = load_hf_opt(path, dtype=dtype)
+        return params, cfg, "opt"
+    if mt in ("llama", "gemma", "mistral"):
+        params, cfg = load_hf_llama(path, dtype=dtype)
+        return params, cfg, "gemma" if mt == "gemma" else "llama"
+    raise NotImplementedError(f"HF model_type {mt!r} not supported")

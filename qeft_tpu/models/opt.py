@@ -1,23 +1,26 @@
 """Functional JAX OPT-family decoder (fc1/fc2 MLP, LayerNorm, learned
-positional embeddings).
+positional embeddings) with the full generation surface: plain forward,
+prefill, windowed forward, and single-token decode over the head-major static
+KV cache — the same API set as models/llama.py.
 
 Covers the reference's OPT support (model_config.json:2-25; the reference
-reuses HF's modeling_opt).  Same conventions as models/llama.py: dense linears
-are [K, N], per-layer params stack on a leading axis and scan, packed linears
-are QLinearParams.  OGR reorder applies to OPT too: LayerNorm's mean
-subtraction is permutation-invariant, so the residual-stream permutation
-remains exact.
+reuses HF's modeling_opt and its past_key_values path, utils/misc.py:81-86).
+Same conventions as models/llama.py: dense linears are [K, N], per-layer
+params stack on a leading axis and scan, packed linears are QLinearParams.
+OGR reorder applies to OPT too: LayerNorm's mean subtraction is
+permutation-invariant, so the residual-stream permutation remains exact
+(positional embeddings and residual-writing biases are permuted with it).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from qeft_tpu.models.llama import _causal_mask, apply_linear
+from qeft_tpu.models.llama import _attention, _causal_mask, apply_linear
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,6 +38,10 @@ class OPTConfig:
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.num_heads  # OPT is MHA
 
 
 OPT_PRESETS: Dict[str, OPTConfig] = {
@@ -101,7 +108,23 @@ def layer_norm(x, w, b, eps):
     return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w + b
 
 
-def opt_block(blk, x, cfg: OPTConfig, mask, capture: bool = False):
+def _embed_opt(params: Dict, tokens: jax.Array, positions: jax.Array) -> jax.Array:
+    """tokens [B, S]; positions [B, S] or [1, S] absolute positions."""
+    x = jnp.take(params["embed"], tokens, axis=0)
+    return x + jnp.take(params["embed_pos"], positions + _POS_OFFSET, axis=0)
+
+
+def opt_block(
+    blk: Dict,
+    x: jax.Array,
+    cfg: OPTConfig,
+    mask: Optional[jax.Array],
+    kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cache_pos: Optional[jax.Array] = None,
+    capture: bool = False,
+):
+    """One OPT decoder block; same cache contract as llama_block
+    (head-major [B, H, S_max, Dh] caches written at ``cache_pos``)."""
     b, s, d = x.shape
     h, dh = cfg.num_heads, cfg.head_dim
     dtype = x.dtype
@@ -113,10 +136,24 @@ def opt_block(blk, x, cfg: OPTConfig, mask, capture: bool = False):
     q = (apply_linear(blk["q"], x, dtype) + blk["q_b"]).reshape(b, s, h, dh)
     k = (apply_linear(blk["k"], x, dtype) + blk["k_b"]).reshape(b, s, h, dh)
     v = (apply_linear(blk["v"], x, dtype) + blk["v_b"]).reshape(b, s, h, dh)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * (dh**-0.5)
-    scores = scores + mask
-    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, h * dh)
+    kh = k.transpose(0, 2, 1, 3)  # [B, H, S, Dh]
+    vh = v.transpose(0, 2, 1, 3)
+
+    if kv is not None:
+        k_cache, v_cache = kv
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, kh.astype(k_cache.dtype), (0, 0, cache_pos, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, vh.astype(v_cache.dtype), (0, 0, cache_pos, 0)
+        )
+        k_all, v_all = k_cache.astype(dtype), v_cache.astype(dtype)
+        new_kv = (k_cache, v_cache)
+    else:
+        k_all, v_all = kh, vh
+        new_kv = None
+
+    ctx = _attention(q, k_all, v_all, mask, 1, dtype)
     o_in = ctx
     if "o_reorder" in blk:
         o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
@@ -135,20 +172,67 @@ def opt_block(blk, x, cfg: OPTConfig, mask, capture: bool = False):
     if capture:
         # inputs to the four sequential quantization stages (reference
         # model_config.json:2-25: [qkv], [out_proj], [fc1], [fc2])
-        return x, {"qkv_in": qkv_in, "o_in": ctx, "ffn1_in": ffn1_in, "ffn2_in": h1}
-    return x
+        return x, new_kv, {"qkv_in": qkv_in, "o_in": ctx, "ffn1_in": ffn1_in, "ffn2_in": h1}
+    return x, new_kv, None
+
+
+def _final(params: Dict, x: jax.Array, cfg: OPTConfig) -> jax.Array:
+    x = layer_norm(x, params["final_ln"], params["final_ln_b"], cfg.layer_norm_eps)
+    return apply_linear(params["lm_head"], x, x.dtype)
 
 
 def opt_forward(params: Dict, tokens: jax.Array, cfg: OPTConfig) -> jax.Array:
+    """Plain full-sequence forward -> logits [B, S, V] (no cache; PPL eval)."""
     b, s = tokens.shape
-    x = jnp.take(params["embed"], tokens, axis=0)
-    pos = jnp.arange(s) + _POS_OFFSET
-    x = x + jnp.take(params["embed_pos"], pos, axis=0)[None]
+    x = _embed_opt(params, tokens, jnp.arange(s)[None, :])
     mask = _causal_mask(s)
 
     def body(xc, blk):
-        return opt_block(blk, xc, cfg, mask), None
+        out, _, _ = opt_block(blk, xc, cfg, mask)
+        return out, None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
-    x = layer_norm(x, params["final_ln"], params["final_ln_b"], cfg.layer_norm_eps)
-    return apply_linear(params["lm_head"], x, x.dtype)
+    return _final(params, x, cfg)
+
+
+def init_kv_cache(cfg: OPTConfig, batch: int, max_len: int, dtype=None):
+    """Head-major static cache: [L, B, H, S_max, Dh]."""
+    dtype = dtype or cfg.dtype
+    shape = (cfg.num_layers, batch, cfg.num_heads, max_len, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def opt_forward_window(
+    params: Dict, tokens: jax.Array, cache: Dict, pos: jax.Array, cfg: OPTConfig
+):
+    """Forward a WINDOW of tokens at offset ``pos`` through the cache
+    (generalizes prefill at pos=0 and decode at W=1; see llama_forward_window)."""
+    b, w = tokens.shape
+    max_len = cache["k"].shape[3]
+    positions = pos + jnp.arange(w)[None, :]
+    x = _embed_opt(params, tokens, positions)
+    key_pos = jnp.arange(max_len)[None, None, None, :]
+    query_pos = (pos + jnp.arange(w))[None, None, :, None]
+    mask = jnp.where(key_pos <= query_pos, 0.0, -jnp.inf).astype(jnp.float32)
+
+    def body(xc, inp):
+        blk, kc, vc = inp
+        out, (kc, vc), _ = opt_block(blk, xc, cfg, mask, kv=(kc, vc), cache_pos=pos)
+        return out, (kc, vc)
+
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    return _final(params, x, cfg), {"k": ks, "v": vs}
+
+
+def opt_prefill(params: Dict, tokens: jax.Array, cache: Dict, cfg: OPTConfig):
+    """Prefill: fills cache[..., :S, :]; returns (logits [B, S, V], cache)."""
+    return opt_forward_window(params, tokens, cache, jnp.int32(0), cfg)
+
+
+def opt_decode_step(
+    params: Dict, token: jax.Array, cache: Dict, pos: jax.Array, cfg: OPTConfig
+):
+    """One decode step. token: [B, 1]; pos: scalar int32.  Returns
+    (logits [B, V], new cache)."""
+    logits, cache = opt_forward_window(params, token, cache, pos, cfg)
+    return logits[:, 0, :], cache

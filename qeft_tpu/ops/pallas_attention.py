@@ -51,7 +51,11 @@ def decode_attention(
     n_s = s_max // blk
     scale = d**-0.5
 
-    qf = q.reshape(b * hkv, n_rep, d)
+    # q and out ride as 3D [B*H_kv, 1, rep*D] with full-size trailing block
+    # dims (always legal) so their blocks never slice a sub-tile dim; K/V
+    # stay 3D with a leading block dim of 1, which slices the UNtiled outer
+    # dim only
+    qf = q.reshape(b * hkv, 1, n_rep * d)
     kf = k_cache.reshape(b * hkv, s_max, d)
     vf = v_cache.reshape(b * hkv, s_max, d)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
@@ -68,7 +72,7 @@ def decode_attention(
 
         @pl.when(s_idx * blk <= p_now)
         def _():
-            qt = q_ref.at[0][:].astype(jnp.float32)  # [rep, D]
+            qt = q_ref[:].astype(jnp.float32).reshape(n_rep, d)
             kt = k_ref.at[0][:].astype(jnp.float32)  # [blk, D]
             vt = v_ref.at[0][:].astype(jnp.float32)
             scores = jax.lax.dot_general(
@@ -92,7 +96,7 @@ def decode_attention(
 
         @pl.when(s_idx == pl.num_programs(1) - 1)
         def _():
-            o_ref.at[0][:] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+            o_ref[:] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype).reshape(1, 1, n_rep * d)
 
     def clamp_idx(bi, si, pos_ref):
         # blocks past the valid prefix re-map to the last valid block: the
@@ -103,11 +107,11 @@ def decode_attention(
         num_scalar_prefetch=1,
         grid=(b * hkv, n_s),
         in_specs=[
-            pl.BlockSpec((1, n_rep, d), lambda bi, si, pos_ref: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, n_rep * d), lambda bi, si, pos_ref: (bi, 0, 0)),
             pl.BlockSpec((1, blk, d), clamp_idx),
             pl.BlockSpec((1, blk, d), clamp_idx),
         ],
-        out_specs=pl.BlockSpec((1, n_rep, d), lambda bi, si, pos_ref: (bi, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, n_rep * d), lambda bi, si, pos_ref: (bi, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((n_rep, 1), jnp.float32),
             pltpu.VMEM((n_rep, 1), jnp.float32),
@@ -117,7 +121,7 @@ def decode_attention(
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b * hkv, n_rep, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * hkv, 1, n_rep * d), q.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),

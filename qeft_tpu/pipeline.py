@@ -201,7 +201,7 @@ def opt_block_hessians(blk, inps, cfg):
 
     def step(carry, x):
         h_qkv, h_o, h_ffn1, h_ffn2 = carry
-        out, cap = opt_block(blk, x[None], cfg, mask, capture=True)
+        out, _, cap = opt_block(blk, x[None], cfg, mask, capture=True)
 
         def acc(h, a):
             flat = a.reshape(-1, a.shape[-1]).astype(jnp.float32)
@@ -228,7 +228,7 @@ def opt_block_forward_batch(blk, inps, cfg):
     mask = _causal_mask(s)
 
     def step(_, x):
-        return None, opt_block(blk, x[None], cfg, mask)[0]
+        return None, opt_block(blk, x[None], cfg, mask)[0][0]
 
     _, outs = jax.lax.scan(step, None, inps)
     return outs
@@ -359,9 +359,9 @@ def quantize_model(
     """
     if args.reorder:
         assert outidx is not None, "global reorder needs the extracted outidx"
-        assert meta.family in ("llama", "gemma"), (
-            "static global reorder is implemented for llama-family models; "
-            "quantize OPT/bloom/falcon with reorder=False (per-layer outliers)"
+        assert meta.family in ("llama", "gemma", "opt"), (
+            "static global reorder is implemented for llama/gemma/opt; "
+            "quantize bloom/falcon with reorder=False (per-layer outliers)"
         )
     spec = args.spec
     tokens = jnp.asarray(calib_tokens)
@@ -502,7 +502,11 @@ def reorder_model(
     - o input (head space, dim H*Dh): statically permuted by o's per-layer
       dense ids; the runtime input gather ids are stored as blk['o_reorder'].
     RMSNorm models make the residual permutation exact (norm is elementwise
-    after a permutation-invariant reduction).
+    after a permutation-invariant reduction); LayerNorm (OPT) too, since the
+    mean/variance are permutation-invariant.  Everything that WRITES into the
+    residual stream permutes with it: positional embeddings and the o/ffn2
+    output biases (reference reorder.py:14-24 handles embed_positions the
+    same way for OPT).
     """
     d = cfg.hidden_size
     g_ids = sparse_to_dense_ids(global_out, d)  # [D]
@@ -511,37 +515,51 @@ def reorder_model(
     new["embed"] = jnp.take(params["embed"], g_ids, axis=1)
     new["final_ln"] = jnp.take(params["final_ln"], g_ids, axis=0)
     new["lm_head"] = jnp.take(params["lm_head"], g_ids, axis=0)
+    if "embed_pos" in params:  # OPT learned positions live in the stream
+        new["embed_pos"] = jnp.take(params["embed_pos"], g_ids, axis=1)
+    if "final_ln_b" in params:
+        new["final_ln_b"] = jnp.take(params["final_ln_b"], g_ids, axis=0)
+
+    (o_name,) = meta.out
+    (f2_name,) = meta.ffn2
 
     new_blocks = []
     for i in range(cfg.num_layers):
         blk = {k: v[i] for k, v in params["layers"].items() if k != "o_reorder"}
         nb = dict(blk)
-        # residual-stream inputs + norms
+
+        def perm_if_present(name, ids, axis=0):
+            if name in blk:
+                nb[name] = jnp.take(nb[name], ids, axis=axis)
+
+        # residual-stream inputs + norms (+ LN biases)
         for name in meta.qkv + meta.ffn1:
             nb[name] = jnp.take(blk[name], g_ids, axis=0)
         for ln in meta.ln:
             nb[ln] = jnp.take(blk[ln], g_ids, axis=0)
+            perm_if_present(ln + "_b", g_ids)
 
         # o: static input permutation (head space) + runtime gather ids
-        (o_name,) = meta.out
         o_state: QuantizerState = quantizers[(i, o_name)]
         o_ids = sparse_to_dense_ids(o_state.out_ids, blk[o_name].shape[0])
         nb[o_name] = jnp.take(blk[o_name], o_ids, axis=0)
         nb["o_reorder"] = o_ids.astype(jnp.int32)
-        # o output cols -> global ids; its scale rows (out channels) too
+        # o output cols (+ bias) -> global ids; its scale rows too
         nb[o_name] = jnp.take(nb[o_name], g_ids, axis=1)
+        perm_if_present(o_name + "_b", g_ids)
         _permute_state_rows(quantizers, (i, o_name), g_ids)
 
-        # MLP internal dim: ffn1 out cols / ffn2 in rows by ffn2's ids
-        (f2_name,) = meta.ffn2
+        # MLP internal dim: ffn1 out cols (+ biases) / ffn2 in rows by ffn2's ids
         f2_state: QuantizerState = quantizers[(i, f2_name)]
         f_ids = sparse_to_dense_ids(f2_state.out_ids, blk[f2_name].shape[0])
         for name in meta.ffn1:
             nb[name] = jnp.take(nb[name], f_ids, axis=1)
+            perm_if_present(name + "_b", f_ids)
             _permute_state_rows(quantizers, (i, name), f_ids)
         nb[f2_name] = jnp.take(blk[f2_name], f_ids, axis=0)
-        # ffn2 out cols -> global ids
+        # ffn2 out cols (+ bias) -> global ids
         nb[f2_name] = jnp.take(nb[f2_name], g_ids, axis=1)
+        perm_if_present(f2_name + "_b", g_ids)
         _permute_state_rows(quantizers, (i, f2_name), g_ids)
 
         new_blocks.append(nb)
@@ -577,6 +595,10 @@ def reorder_model_host(
     new["embed"] = _np.ascontiguousarray(_np.asarray(params["embed"])[:, g_ids])
     new["final_ln"] = _np.asarray(params["final_ln"])[g_ids]
     new["lm_head"] = _np.ascontiguousarray(_np.asarray(params["lm_head"])[g_ids, :])
+    if "embed_pos" in params:
+        new["embed_pos"] = _np.ascontiguousarray(_np.asarray(params["embed_pos"])[:, g_ids])
+    if "final_ln_b" in params:
+        new["final_ln_b"] = _np.asarray(params["final_ln_b"])[g_ids]
 
     def writable(v):
         a = _np.asarray(v)
@@ -595,15 +617,21 @@ def reorder_model_host(
             out_ids=st.out_ids, sym=st.sym, bits=st.bits, group_size=st.group_size,
         )
 
+    def perm_vec(name, i, ids):
+        if name in layers:
+            layers[name][i] = layers[name][i][ids]
+
     for i in range(cfg.num_layers):
         for name in meta.qkv + meta.ffn1:
             layers[name][i] = layers[name][i][g_ids, :]
         for ln in meta.ln:
             layers[ln][i] = layers[ln][i][g_ids]
+            perm_vec(ln + "_b", i, g_ids)
 
         o_state: QuantizerState = quantizers[(i, o_name)]
         o_ids = dense_ids(o_state.out_ids, layers[o_name].shape[1])
         layers[o_name][i] = layers[o_name][i][o_ids, :][:, g_ids]
+        perm_vec(o_name + "_b", i, g_ids)
         o_reorder[i] = o_ids
         perm_state((i, o_name), g_ids)
 
@@ -611,8 +639,10 @@ def reorder_model_host(
         f_ids = dense_ids(f2_state.out_ids, layers[f2_name].shape[1])
         for name in meta.ffn1:
             layers[name][i] = layers[name][i][:, f_ids]
+            perm_vec(name + "_b", i, f_ids)
             perm_state((i, name), f_ids)
         layers[f2_name][i] = layers[f2_name][i][f_ids, :][:, g_ids]
+        perm_vec(f2_name + "_b", i, g_ids)
         perm_state((i, f2_name), g_ids)
 
     layers["o_reorder"] = o_reorder
@@ -678,18 +708,20 @@ def pack_model(
     single packed linears (fewer, larger kernel invocations; the model forward
     splits the outputs).  Requires reorder (shared input permutations).
     """
-    new = dict(params)
-    new["embed"] = params["embed"].astype(dtype)
-    new["final_ln"] = params["final_ln"].astype(dtype)
-    new["lm_head"] = params["lm_head"].astype(dtype)
+    def cast_float(v):
+        return v.astype(dtype) if jnp.issubdtype(np.asarray(v).dtype, np.floating) else v
+
+    new = {k: (v if k == "layers" else cast_float(v)) for k, v in params.items()}
 
     new_blocks = []
     dev = jax.devices()[0] if jax.default_backend() != "cpu" else None
     for i in range(cfg.num_layers):
         blk = _block_at(params["layers"], i, dev)
-        nb = dict(blk)
-        for ln in meta.ln:
-            nb[ln] = blk[ln].astype(dtype)
+        # cast every non-linear float leaf (norms, biases, OPT extras)
+        nb = {
+            k: (v if k in meta.all_linears else cast_float(v))
+            for k, v in blk.items()
+        }
         for name in meta.all_linears:
             st: QuantizerState = quantizers[(i, name)]
             w_kn = blk[name]  # [K, N] reordered

@@ -74,13 +74,13 @@ def main(argv=None):
     if resume_path == "completed":
         return
 
-    params, cfg = load_packed(args.load)
-    meta = get_model_meta("llama")
+    params, cfg, family = load_packed(args.load)
+    meta = get_model_meta(family)
     oweights, frozen = split_wct(params, meta)
 
     if resume_path:
         print(f"resuming from {resume_path} (step {start_step})")
-        resumed, _ = load_wct(resume_path)
+        resumed, _, _ = load_wct(resume_path)
         ro, _ = split_wct(resumed, meta)
         oweights = ro
 

@@ -24,7 +24,7 @@ def test_packed_roundtrip(tmp_path):
     packed = packed_tiny()
     path = str(tmp_path / "model_packed.npz")
     save_packed(path, packed, CFG)
-    loaded, cfg = load_packed(path)
+    loaded, cfg, family = load_packed(path)
     assert cfg == CFG
 
     tokens = jnp.zeros((1, 4), jnp.int32)
@@ -52,7 +52,7 @@ def test_fake_roundtrip_and_repack(tmp_path):
 
     path = str(tmp_path / "model_fake.npz")
     save_fake(path, qparams, quantizers, CFG)
-    lparams, lquant, cfg = load_fake(path)
+    lparams, lquant, cfg, family = load_fake(path)
 
     tokens = jnp.zeros((1, 4), jnp.int32)
     ref = np.asarray(llama_forward(qparams, tokens, CFG))
@@ -79,14 +79,14 @@ def test_wct_overlay(tmp_path):
     wct = str(tmp_path / "wct.npz")
     save_wct(wct, ow, base)
 
-    loaded, cfg = load_wct(wct)
+    loaded, cfg, family = load_wct(wct)
     np.testing.assert_allclose(
         np.asarray(loaded["layers"]["q"].oweight),
         np.asarray(packed["layers"]["q"].oweight) + 1.0,
         rtol=1e-3,
     )
     # dispatching loader resolves the format
-    loaded2, _ = load_model(wct)
+    loaded2, _, _ = load_model(wct)
     np.testing.assert_allclose(
         np.asarray(loaded2["layers"]["q"].oweight),
         np.asarray(loaded["layers"]["q"].oweight),
