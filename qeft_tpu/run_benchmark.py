@@ -35,6 +35,11 @@ def main(argv=None):
     parser.add_argument("--context", type=int, default=64)
     parser.add_argument("--gen", type=int, default=256)
     parser.add_argument("--gamma", type=int, default=4)
+    parser.add_argument("--sample", action="store_true",
+                        help="sampling instead of greedy (spec: speculative "
+                             "sampling with exact target distribution)")
+    parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--top_k", type=int, default=0)
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--fuse_stages", action="store_true", default=True)
@@ -60,7 +65,11 @@ def main(argv=None):
     if args.load:
         from qeft_tpu.checkpoint import load_model
 
-        params, cfg = load_model(args.load)
+        params, cfg, family = load_model(args.load)
+        assert family in ("llama", "gemma"), (
+            "run_benchmark drives the llama-family decode path; use "
+            "`main --load ... --benchmark` for other families"
+        )
     elif args.method == "fp":
         params = init_params(cfg, key, dtype=jnp.bfloat16)
     else:
@@ -72,23 +81,36 @@ def main(argv=None):
     max_len = args.context + args.gen + (args.gamma + 1 if args.method == "spec" else 0)
     cache = init_kv_cache(cfg, 1, max_len, dtype=jnp.bfloat16)
 
+    sc = SampleConfig(
+        greedy=not args.sample, temperature=args.temperature, top_k=args.top_k
+    )
     if args.method == "spec":
-        from qeft_tpu.speculative import speculative_generate
+        from qeft_tpu.speculative import (
+            speculative_generate,
+            speculative_generate_sampled,
+        )
 
         dcfg = LLAMA_PRESETS[args.draft_model]
         draft = init_params(dcfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
         d_cache = init_kv_cache(dcfg, 1, max_len, dtype=jnp.bfloat16)
 
         def run():
-            out, telem = speculative_generate(
-                params, draft, prompt, cache, d_cache, cfg, dcfg,
-                args.gen, args.gamma,
-            )
+            if args.sample:
+                out, telem = speculative_generate_sampled(
+                    params, draft, prompt, cache, d_cache, cfg, dcfg,
+                    args.gen, jax.random.PRNGKey(args.seed),
+                    gamma=args.gamma, sc=sc,
+                )
+            else:
+                out, telem = speculative_generate(
+                    params, draft, prompt, cache, d_cache, cfg, dcfg,
+                    args.gen, args.gamma,
+                )
             np.asarray(out)
             return telem
     else:
         def run():
-            out, _ = generate(params, prompt, cache, cfg, args.gen, SampleConfig())
+            out, _ = generate(params, prompt, cache, cfg, args.gen, sc)
             np.asarray(out)
             return None
 

@@ -26,12 +26,62 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from qeft_tpu.generate import SampleConfig
 from qeft_tpu.models.llama import (
     LlamaConfig,
     llama_decode_step,
     llama_forward_window,
     llama_prefill,
 )
+
+
+def _warp_probs(logits: jax.Array, sc: SampleConfig) -> jax.Array:
+    """Post-processing distribution both models sample from (temperature +
+    top-k), matching the reference's logits-warper stack applied before
+    `_speculative_sampling` (ftllama_generate.py:468-474)."""
+    logits = logits.astype(jnp.float32) / sc.temperature
+    if sc.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[..., -sc.top_k][..., None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def speculative_accept(
+    cand: jax.Array,  # [gamma] int32 draft tokens
+    probs_d: jax.Array,  # [gamma, V] draft distributions they were sampled from
+    probs_t: jax.Array,  # [gamma+1, V] target distributions (last = bonus pos)
+    key: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """The accept/resample rule of speculative SAMPLING (reference
+    `_speculative_sampling`, ftllama_generate.py:410-530; Leviathan et al.).
+
+    Draft token i is accepted with prob min(1, p_t(x_i)/p_d(x_i)); at the
+    first rejection the corrected token is drawn from norm((p_t - p_d)+);
+    if all gamma are accepted the bonus token is drawn from p_t[gamma].
+    Returns (n_accept, corrected_token).  Marginally, the emitted token at
+    every position is distributed exactly as p_t (tested empirically).
+    """
+    gamma = cand.shape[0]
+    k_u, k_r = jax.random.split(key)
+    u = jax.random.uniform(k_u, (gamma,))
+    idx = jnp.arange(gamma)
+    p_t_x = probs_t[idx, cand]  # [gamma]
+    p_d_x = probs_d[idx, cand]
+    accept = u * p_d_x < p_t_x  # u < p_t/p_d, safe when p_d == 0
+    n_accept = jnp.argmin(
+        jnp.concatenate([accept, jnp.zeros((1,), bool)])
+    ).astype(jnp.int32)
+
+    # corrected token: residual resample at the rejection position, or the
+    # bonus draw from p_t[gamma] when everything was accepted
+    residual = jnp.maximum(probs_t[n_accept] - probs_d[jnp.minimum(n_accept, gamma - 1)], 0.0)
+    resample_dist = jnp.where(n_accept == gamma, probs_t[gamma], residual)
+    # degenerate residual (p_t == p_d exactly): fall back to p_t
+    resample_dist = jnp.where(
+        jnp.sum(resample_dist) > 0.0, resample_dist, probs_t[n_accept]
+    )
+    corrected = jax.random.categorical(k_r, jnp.log(resample_dist)).astype(jnp.int32)
+    return n_accept, corrected
 
 
 @partial(jax.jit, static_argnames=("cfg_t", "cfg_d", "max_new_tokens", "gamma"))
@@ -132,6 +182,121 @@ def speculative_generate(
         )
 
     out, n_done, t_cache, d_cache, rounds, accepted = jax.lax.while_loop(
+        cond, body, init
+    )
+    telemetry = {
+        "rounds": rounds,
+        "accepted_total": accepted,
+        "mean_accept_length": accepted.astype(jnp.float32)
+        / jnp.maximum(rounds.astype(jnp.float32), 1.0),
+    }
+    return out[:, :max_new_tokens], telemetry
+
+
+@partial(
+    jax.jit, static_argnames=("cfg_t", "cfg_d", "max_new_tokens", "gamma", "sc")
+)
+def speculative_generate_sampled(
+    target_params: Dict,
+    draft_params: Dict,
+    prompt: jax.Array,  # [B=1, S]
+    t_cache: Dict,
+    d_cache: Dict,
+    cfg_t: LlamaConfig,
+    cfg_d: LlamaConfig,
+    max_new_tokens: int,
+    rng: jax.Array,
+    gamma: int = 4,
+    sc: SampleConfig = SampleConfig(greedy=False),
+) -> Tuple[jax.Array, Dict]:
+    """Speculative SAMPLING (do_sample path of the reference's
+    `_assisted_decoding`, ftllama_generate.py:410-530): the emitted sequence
+    is distributed exactly as sampling from the target alone, but costs one
+    target forward per ~(1 + mean_accept_length) tokens.
+    """
+    b, s_prompt = prompt.shape
+    assert b == 1, "speculative decoding is single-sequence (reference parity)"
+
+    t_logits, t_cache = llama_prefill(target_params, prompt, t_cache, cfg_t)
+    _, d_cache = llama_prefill(draft_params, prompt, d_cache, cfg_d)
+    rng, k0 = jax.random.split(rng)
+    first = jax.random.categorical(
+        k0, jnp.log(_warp_probs(t_logits[:, -1, :], sc)), axis=-1
+    ).astype(jnp.int32)
+
+    out = jnp.zeros((b, max_new_tokens + gamma + 1), jnp.int32)
+    out = out.at[:, 0].set(first)
+
+    init = (out, jnp.int32(1), t_cache, d_cache, rng, jnp.int32(0), jnp.int32(0))
+
+    def cond(carry):
+        _, n_done, *_ = carry
+        return n_done < max_new_tokens
+
+    def body(carry):
+        out, n_done, t_cache, d_cache, rng, rounds, accepted = carry
+        rng, k_draft, k_acc = jax.random.split(rng, 3)
+        last = jax.lax.dynamic_slice(out, (0, n_done - 1), (1, 1))
+        base_pos = s_prompt + n_done - 1
+
+        vocab = cfg_d.vocab_size
+
+        def draft_step(i, c):
+            cand, pd, d_cache, cur = c
+            logits, d_cache = llama_decode_step(
+                draft_params, cur, d_cache, base_pos + i, cfg_d
+            )
+            probs = _warp_probs(logits[0], sc)  # [V]
+            nxt = jax.random.categorical(
+                jax.random.fold_in(k_draft, i), jnp.log(probs)
+            ).astype(jnp.int32)[None, None]
+            cand = jax.lax.dynamic_update_slice(cand, nxt, (0, i))
+            pd = jax.lax.dynamic_update_slice(pd, probs[None], (i, 0))
+            return cand, pd, d_cache, nxt
+
+        cand = jnp.zeros((1, gamma), jnp.int32)
+        pd = jnp.zeros((gamma, vocab), jnp.float32)
+        cand, pd, d_cache, _ = jax.lax.fori_loop(
+            0, gamma, draft_step, (cand, pd, d_cache, last)
+        )
+
+        window = jnp.concatenate([last, cand], axis=1)  # [1, gamma+1]
+        t_logits, t_cache = llama_forward_window(
+            target_params, window, t_cache, base_pos, cfg_t
+        )
+        pt = _warp_probs(t_logits[0], sc)  # [gamma+1, V]
+
+        n_accept, corrected = speculative_accept(cand[0], pd, pt, k_acc)
+        emitted_len = n_accept + 1
+
+        idx = jnp.arange(gamma + 1)
+        emit = jnp.where(
+            idx[None, :] < n_accept,
+            jnp.pad(cand, ((0, 0), (0, 1))),
+            corrected[None, None],
+        )
+
+        def write_one(i, o):
+            tok = jax.lax.dynamic_slice(emit, (0, i), (1, 1))
+            return jax.lax.cond(
+                i < emitted_len,
+                lambda oo: jax.lax.dynamic_update_slice(oo, tok, (0, n_done + i)),
+                lambda oo: oo,
+                o,
+            )
+
+        out = jax.lax.fori_loop(0, gamma + 1, write_one, out)
+        return (
+            out,
+            n_done + emitted_len,
+            t_cache,
+            d_cache,
+            rng,
+            rounds + 1,
+            accepted + n_accept,
+        )
+
+    out, n_done, t_cache, d_cache, rng, rounds, accepted = jax.lax.while_loop(
         cond, body, init
     )
     telemetry = {

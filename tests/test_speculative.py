@@ -4,7 +4,11 @@ import jax.numpy as jnp
 
 from qeft_tpu.models import LLAMA_PRESETS, init_params, init_kv_cache
 from qeft_tpu.generate import generate, SampleConfig
-from qeft_tpu.speculative import speculative_generate
+from qeft_tpu.speculative import (
+    speculative_accept,
+    speculative_generate,
+    speculative_generate_sampled,
+)
 
 CFG = LLAMA_PRESETS["tiny"]
 
@@ -53,6 +57,121 @@ def test_telemetry_counts():
     out, telem = run_spec(target, draft, prompt, 8, 2)
     assert int(telem["rounds"]) >= 1
     assert 0 <= float(telem["mean_accept_length"]) <= 2.0
+
+
+def test_accept_rule_emits_target_distribution():
+    """The speculative-sampling theorem (reference `_speculative_sampling`,
+    ftllama_generate.py:410-530): with cand ~ p_d and the accept/resample
+    rule, the emitted token at position 0 is distributed exactly as p_t[0] —
+    regardless of how different p_d is.  Checked empirically by total
+    variation distance over many keys."""
+    vocab, gamma, n_trials = 16, 3, 20000
+    rng = np.random.default_rng(7)
+    probs_d = rng.dirichlet(np.ones(vocab) * 0.7, size=gamma).astype(np.float32)
+    probs_t = rng.dirichlet(np.ones(vocab) * 0.7, size=gamma + 1).astype(np.float32)
+    pd = jnp.asarray(probs_d)
+    pt = jnp.asarray(probs_t)
+
+    def trial(key):
+        k_cand, k_acc = jax.random.split(key)
+        cand = jax.random.categorical(
+            k_cand, jnp.log(pd), axis=-1
+        ).astype(jnp.int32)  # [gamma], position i sampled from p_d[i]
+        n_accept, corrected = speculative_accept(cand, pd, pt, k_acc)
+        return jnp.where(n_accept >= 1, cand[0], corrected)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n_trials)
+    emitted = np.asarray(jax.jit(jax.vmap(trial))(keys))
+    emp = np.bincount(emitted, minlength=vocab) / n_trials
+    tv = 0.5 * np.abs(emp - probs_t[0]).sum()
+    # TV of a 16-bin multinomial at n=20000 concentrates well below 0.03
+    assert tv < 0.03, (tv, emp, probs_t[0])
+
+    # and the naive alternative (always keep the draft token) must FAIL this
+    # check, proving the test has power
+    def naive(key):
+        k_cand, _ = jax.random.split(key)
+        return jax.random.categorical(k_cand, jnp.log(pd), axis=-1)[0]
+
+    emitted_n = np.asarray(jax.jit(jax.vmap(naive))(keys))
+    emp_n = np.bincount(emitted_n, minlength=vocab) / n_trials
+    tv_n = 0.5 * np.abs(emp_n - probs_t[0]).sum()
+    assert tv_n > 0.1, tv_n
+
+
+def test_sampled_spec_matches_target_only_sampling():
+    """End-to-end: generated-token marginals under speculative sampling match
+    target-only sampling (small-vocab model pair so empirical TV noise
+    ~sqrt(vocab/n) is well below the tolerance).  Position 0 checks the rng
+    plumbing; positions 1+ are produced by the draft/accept/resample path."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, vocab_size=32, hidden_size=64, intermediate_size=128,
+        num_heads=2, num_kv_heads=2, head_dim=32,
+    )
+    target = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    draft = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    prompt = jnp.asarray(np.random.default_rng(0).integers(0, 32, size=(1, 6)))
+    sc = SampleConfig(greedy=False, temperature=1.0)
+    n_trials = 1500
+
+    def spec_first(key):
+        t_cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+        d_cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+        out, _ = speculative_generate_sampled(
+            target, draft, prompt, t_cache, d_cache, cfg, cfg, 4, key,
+            gamma=2, sc=sc,
+        )
+        return out[0, :4]
+
+    def target_first(key):
+        cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+        out, _ = generate(target, prompt, cache, cfg, 4, sc, rng=key)
+        return out[0, :4]
+
+    keys = jax.random.split(jax.random.PRNGKey(3), n_trials)
+    spec_toks = np.asarray(jax.lax.map(spec_first, keys))
+    tgt_toks = np.asarray(jax.lax.map(target_first, keys))
+    v = cfg.vocab_size
+    for pos in range(4):
+        emp_s = np.bincount(spec_toks[:, pos], minlength=v) / n_trials
+        emp_t = np.bincount(tgt_toks[:, pos], minlength=v) / n_trials
+        tv = 0.5 * np.abs(emp_s - emp_t).sum()
+        # two empirical 32-bin multinomials at n=1500: TV noise ~0.07; a
+        # sampler emitting the DRAFT distribution instead fails by a wide
+        # margin (checked below)
+        assert tv < 0.15, (pos, tv)
+
+    # power check: the draft model's own sampling must NOT pass at pos>=1
+    def draft_only(key):
+        cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+        out, _ = generate(draft, prompt, cache, cfg, 4, sc, rng=key)
+        return out[0, :4]
+
+    drf_toks = np.asarray(jax.lax.map(draft_only, keys))
+    tvs = []
+    for pos in range(4):
+        emp_d = np.bincount(drf_toks[:, pos], minlength=v) / n_trials
+        emp_t = np.bincount(tgt_toks[:, pos], minlength=v) / n_trials
+        tvs.append(0.5 * np.abs(emp_d - emp_t).sum())
+    assert max(tvs) > 0.2, tvs
+
+
+def test_sampled_spec_greedy_limit():
+    """At near-zero temperature the sampled path collapses to the greedy
+    spec path (and hence the target's own greedy output)."""
+    target, draft, prompt = setup()
+    t_cache = init_kv_cache(CFG, 1, 64, dtype=jnp.float32)
+    d_cache = init_kv_cache(CFG, 1, 64, dtype=jnp.float32)
+    sc = SampleConfig(greedy=False, temperature=1e-4)
+    out, telem = speculative_generate_sampled(
+        target, draft, prompt, t_cache, d_cache, CFG, CFG, 10,
+        jax.random.PRNGKey(0), gamma=3, sc=sc,
+    )
+    cache = init_kv_cache(CFG, 1, 64, dtype=jnp.float32)
+    ref, _ = generate(target, prompt, cache, CFG, 10, SampleConfig())
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
 def test_speculative_cache_requirement_documented():
