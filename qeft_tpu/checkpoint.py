@@ -53,7 +53,8 @@ def _flatten(params: Dict) -> Dict[str, np.ndarray]:
 
     def walk(prefix, node):
         if isinstance(node, QLinearParams):
-            for f in ("qweight", "scales", "scaled_zeros", "oweight", "bias"):
+            for f in ("qweight", "scales", "scaled_zeros", "oweight", "bias",
+                      "reorder_ids"):
                 v = getattr(node, f)
                 if v is not None:
                     put(prefix + _SEP + f, v)
@@ -80,7 +81,8 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
         parts = key.split(_SEP)
         if len(parts) >= 2 and (
             parts[-1]
-            in ("qweight", "scales", "scaled_zeros", "oweight", "bias", "__group_size")
+            in ("qweight", "scales", "scaled_zeros", "oweight", "bias",
+                "reorder_ids", "__group_size")
         ):
             node_key = _SEP.join(parts[:-1])
             qnodes.setdefault(node_key, {})[parts[-1]] = val
@@ -101,6 +103,11 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
             scaled_zeros=jnp.asarray(fields["scaled_zeros"]),
             oweight=jnp.asarray(fields["oweight"]) if "oweight" in fields else None,
             bias=jnp.asarray(fields["bias"]) if "bias" in fields else None,
+            reorder_ids=(
+                jnp.asarray(fields["reorder_ids"])
+                if "reorder_ids" in fields
+                else None
+            ),
             group_size=int(fields["__group_size"]),
         )
     return tree

@@ -53,10 +53,55 @@ def _opt_api() -> ModelApi:
     )
 
 
+def _phi_api() -> ModelApi:
+    from qeft_tpu.models import phi as m
+
+    return ModelApi(
+        family="phi",
+        forward=m.phi_forward,
+        prefill=m.phi_prefill,
+        decode_step=m.phi_decode_step,
+        forward_window=m.phi_forward_window,
+        init_cache=m.init_kv_cache,
+        config_cls=m.PhiConfig,
+    )
+
+
+def _bloom_api() -> ModelApi:
+    from qeft_tpu.models import bloom as m
+
+    return ModelApi(
+        family="bloom",
+        forward=m.bloom_forward,
+        prefill=m.bloom_prefill,
+        decode_step=m.bloom_decode_step,
+        forward_window=m.bloom_forward_window,
+        init_cache=m.init_kv_cache,
+        config_cls=m.BloomConfig,
+    )
+
+
+def _falcon_api() -> ModelApi:
+    from qeft_tpu.models import falcon as m
+
+    return ModelApi(
+        family="falcon",
+        forward=m.falcon_forward,
+        prefill=m.falcon_prefill,
+        decode_step=m.falcon_decode_step,
+        forward_window=m.falcon_forward_window,
+        init_cache=m.init_kv_cache,
+        config_cls=m.FalconConfig,
+    )
+
+
 _BUILDERS = {
     "llama": _llama_api,
     "gemma": _llama_api,  # gemma runs on the llama topology (LlamaConfig switches)
     "opt": _opt_api,
+    "phi": _phi_api,
+    "bloom": _bloom_api,
+    "falcon": _falcon_api,
 }
 
 _CACHE: Dict[str, ModelApi] = {}

@@ -95,7 +95,10 @@ _METAS: Dict[str, ModelMeta] = {
         ratios={"q": 1.0, "k": 1.0, "v": 1.0, "o": 1.0, "fc1": 0.25, "fc2": 0.25},
         ln=("attn_ln", "final_ln"),
     ),
-    # reference model_config.json:78-103 (phi: fused dense out, fc1/fc2)
+    # reference model_config.json:78-103 (phi: fused dense out, fc1/fc2).
+    # phi's block is PARALLEL (one LayerNorm feeds both attention and MLP);
+    # the reference's ln_layers names a post_attention_layernorm HF phi does
+    # not have — we list the real single norm
     "phi": ModelMeta(
         family="phi",
         qkv=("q", "k", "v"),
@@ -103,6 +106,7 @@ _METAS: Dict[str, ModelMeta] = {
         ffn1=("fc1",),
         ffn2=("fc2",),
         ratios={"q": 1.0, "k": 1.0, "v": 1.0, "o": 1.0, "fc1": 0.25, "fc2": 0.25},
+        ln=("input_ln",),
     ),
     # reference model_config.json:104-126 (bloom: single fused qkv linear)
     "bloom": ModelMeta(

@@ -51,6 +51,11 @@ class QLinearParams:
     scaled_zeros: jax.Array  # [G, N]
     oweight: Optional[jax.Array] = None  # [r, N] or None
     bias: Optional[jax.Array] = None  # [N] or None
+    # input-gather ids [K] for linears packed WITHOUT a static model reorder
+    # (per-layer outliers, reference `forward_outlier`'s outlieridx path,
+    # qlinear.py:244-263): the packed weight rows live in sorted
+    # (outliers-last) order and the activation is gathered to match
+    reorder_ids: Optional[jax.Array] = None
     group_size: int = dataclasses.field(default=128)
 
     @property
@@ -67,7 +72,7 @@ class QLinearParams:
 
     def tree_flatten(self):
         children = (self.qweight, self.scales, self.scaled_zeros, self.oweight,
-                    self.bias)
+                    self.bias, self.reorder_ids)
         return children, (self.group_size,)
 
     @classmethod

@@ -164,7 +164,13 @@ def qlinear_apply(
     """Main entry: kernel dispatch with a training-safe custom vjp.
 
     ``x``: [..., K].  Returns [..., N].
+
+    Linears packed without a static model reorder carry ``reorder_ids``: the
+    input gathers into the weight's sorted (outliers-last) order first.  The
+    gather sits OUTSIDE the custom vjp, so autodiff transposes it for free.
     """
+    if p.reorder_ids is not None:
+        x = jnp.take(x, p.reorder_ids, axis=-1)
     spec = (p.group_size, bool(use_pallas), jnp.dtype(dtype).name)
     return _qlinear_core(
         spec, x, p.qweight, p.scales, p.scaled_zeros, p.oweight, p.bias

@@ -50,6 +50,9 @@ class QuantizeArgs:
     true_sequential: bool = False
     nsamples: int = 128
     perhead: Optional[int] = None
+    # restrict OWQ outliers to these linear names (reference --layers,
+    # misc.py:160-177: unselected linears quantize with ratio/n_out 0)
+    owq_layers: Optional[Tuple[str, ...]] = None
 
 
 def _block_at(layers, i, device=None):
@@ -234,8 +237,80 @@ def opt_block_forward_batch(blk, inps, cfg):
     return outs
 
 
+def _generic_block_ops(block_fwd, ffn_of):
+    """Build (hessians_fn, forward_fn) from a family's full-sequence
+    ``pipeline_block_forward(blk, x, cfg, capture)`` (phi/bloom/falcon; llama
+    and opt keep their hand-specialized scans above).
+
+    ``ffn_of(cfg)`` names the ffn2-stage input width (intermediate/ffn dim).
+    """
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def hess_fn(blk, inps, cfg):
+        n, s, d = inps.shape
+        hd = cfg.num_heads * cfg.head_dim
+        f = ffn_of(cfg)
+        prec = _hessian_precision()
+
+        def step(carry, x):
+            h_qkv, h_o, h_ffn1, h_ffn2 = carry
+            out, cap = block_fwd(blk, x[None], cfg, capture=True)
+
+            def acc(h, a):
+                flat = a.reshape(-1, a.shape[-1]).astype(jnp.float32)
+                return h + jnp.matmul(flat.T, flat, precision=prec)
+
+            return (
+                acc(h_qkv, cap["qkv_in"]), acc(h_o, cap["o_in"]),
+                acc(h_ffn1, cap["ffn1_in"]), acc(h_ffn2, cap["ffn2_in"]),
+            ), out[0]
+
+        init = (
+            jnp.zeros((d, d), jnp.float32), jnp.zeros((hd, hd), jnp.float32),
+            jnp.zeros((d, d), jnp.float32), jnp.zeros((f, f), jnp.float32),
+        )
+        (h_qkv, h_o, h_ffn1, h_ffn2), outs = jax.lax.scan(step, init, inps)
+        return outs, {"qkv": h_qkv, "out": h_o, "ffn1": h_ffn1, "ffn2": h_ffn2}
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def fwd_fn(blk, inps, cfg):
+        def step(_, x):
+            return None, block_fwd(blk, x[None], cfg)[0][0]
+
+        _, outs = jax.lax.scan(step, None, inps)
+        return outs
+
+    return hess_fn, fwd_fn
+
+
+def _plain_embed(params, tokens, cfg):
+    return _embed_tokens(jnp.asarray(params["embed"]), tokens, cfg)
+
+
+def _bloom_embed(params, tokens, cfg):
+    from qeft_tpu.models.bloom import layer_norm
+
+    x = _embed_tokens(jnp.asarray(params["embed"]), tokens, cfg)
+    return layer_norm(
+        x, jnp.asarray(params["embed_ln"]), jnp.asarray(params["embed_ln_b"]),
+        cfg.layer_norm_eps,
+    )
+
+
+_FAMILY_OPS_CACHE: Dict = {}
+
+
 def _family_ops(meta: ModelMeta):
-    """(embed_fn(params, tokens, cfg), hessians_fn, forward_fn) per family."""
+    """(embed_fn(params, tokens, cfg), hessians_fn, forward_fn) per family.
+    Memoized so the generic families reuse one jit cache per process."""
+    if meta.family in _FAMILY_OPS_CACHE:
+        return _FAMILY_OPS_CACHE[meta.family]
+    ops = _family_ops_build(meta)
+    _FAMILY_OPS_CACHE[meta.family] = ops
+    return ops
+
+
+def _family_ops_build(meta: ModelMeta):
     if meta.family == "opt":
         return (
             lambda params, tokens, cfg: _opt_embed_tokens(
@@ -245,10 +320,29 @@ def _family_ops(meta: ModelMeta):
             opt_block_hessians,
             opt_block_forward_batch,
         )
+    if meta.family == "phi":
+        from qeft_tpu.models import phi as phi_mod
+
+        hess, fwd = _generic_block_ops(
+            phi_mod.pipeline_block_forward, lambda cfg: cfg.intermediate_size
+        )
+        return _plain_embed, hess, fwd
+    if meta.family == "bloom":
+        from qeft_tpu.models import bloom as bloom_mod
+
+        hess, fwd = _generic_block_ops(
+            bloom_mod.pipeline_block_forward, lambda cfg: cfg.ffn_dim
+        )
+        return _bloom_embed, hess, fwd
+    if meta.family == "falcon":
+        from qeft_tpu.models import falcon as falcon_mod
+
+        hess, fwd = _generic_block_ops(
+            falcon_mod.pipeline_block_forward, lambda cfg: cfg.ffn_dim
+        )
+        return _plain_embed, hess, fwd
     return (
-        lambda params, tokens, cfg: _embed_tokens(
-            jnp.asarray(params["embed"]), tokens, cfg
-        ),
+        _plain_embed,
         block_hessians,
         block_forward_batch,
     )
@@ -283,6 +377,16 @@ def _n_out_dict(params, meta: ModelMeta, args: QuantizeArgs, cfg: LlamaConfig) -
     elif args.target_rank is not None:
         for l in meta.all_linears:
             n_out[l] = args.target_rank
+    if args.owq_layers is not None:
+        unknown = set(args.owq_layers) - set(meta.all_linears)
+        if unknown:
+            raise ValueError(
+                f"unknown --layers {sorted(unknown)}; "
+                f"available: {list(meta.all_linears)}"
+            )
+        for l in meta.all_linears:
+            if l not in args.owq_layers:
+                n_out[l] = 0
     return n_out
 
 
@@ -359,8 +463,8 @@ def quantize_model(
     """
     if args.reorder:
         assert outidx is not None, "global reorder needs the extracted outidx"
-        assert meta.family in ("llama", "gemma", "opt"), (
-            "static global reorder is implemented for llama/gemma/opt; "
+        assert meta.family in ("llama", "gemma", "opt", "phi"), (
+            "static global reorder is implemented for llama/gemma/opt/phi; "
             "quantize bloom/falcon with reorder=False (per-layer outliers)"
         )
     spec = args.spec
@@ -713,6 +817,13 @@ def pack_model(
 
     new = {k: (v if k == "layers" else cast_float(v)) for k, v in params.items()}
 
+    # a globally-reordered model always carries the o_proj runtime gather; a
+    # non-reordered one (per-layer outliers, e.g. bloom/falcon) keeps its fake
+    # weights in ORIGINAL column order, so each packed linear gets its own
+    # sorted layout + input-gather ids (reference forward_outlier's
+    # outlieridx index_select, qlinear.py:244-263)
+    reordered = "o_reorder" in params["layers"]
+
     new_blocks = []
     dev = jax.devices()[0] if jax.default_backend() != "cpu" else None
     for i in range(cfg.num_layers):
@@ -724,9 +835,17 @@ def pack_model(
         }
         for name in meta.all_linears:
             st: QuantizerState = quantizers[(i, name)]
-            w_kn = blk[name]  # [K, N] reordered
+            w_kn = jnp.asarray(blk[name])  # [K, N]
             k_in = w_kn.shape[0]
             group = st.group_size if st.group_size > 0 else k_in
+            reorder_ids = None
+            if not reordered and int(st.out_ids.shape[0]) > 0:
+                # permute rows into the sorted (outliers-last) layout the
+                # quantizer states describe; runtime gathers the input to match
+                reorder_ids = sparse_to_dense_ids(
+                    jnp.asarray(st.out_ids), k_in
+                ).astype(jnp.int32)
+                w_kn = jnp.take(w_kn, reorder_ids, axis=0)
             nb[name] = pack_layer(
                 w_kn,
                 st.scale_group,
@@ -737,6 +856,8 @@ def pack_model(
                 bits=st.bits,
                 dtype=dtype,
             )
+            if reorder_ids is not None:
+                nb[name] = dataclasses.replace(nb[name], reorder_ids=reorder_ids)
         if fuse_stages:
             if meta.family == "llama" and len(meta.qkv) == 3:
                 _fuse_stage(nb, meta.qkv, "qkv")
