@@ -135,13 +135,17 @@ def init_params(cfg: LlamaConfig, key: jax.Array, dtype=None) -> Dict:
 # primitives
 
 
-def _pallas_attn_enabled() -> bool:
+def _pallas_attn_enabled(s_max: int) -> bool:
+    """Default: ON for large caches on TPU, where the length-aware DMA
+    clamping beats XLA's full-cache masked attention (on-chip A/B,
+    BASELINE.md round 2: 35.2 vs 33.1 tok/s at a 4096-slot cache); at small
+    caches XLA is ~1% ahead, so we keep it.  QEFT_PALLAS_ATTN=1/0 forces."""
     import os
 
     v = os.environ.get("QEFT_PALLAS_ATTN")
     if v is not None:
         return v not in ("0", "false", "off")
-    return False  # default off until consistently faster than XLA on-device
+    return jax.default_backend() == "tpu" and s_max >= 1024
 
 
 def apply_linear(lin, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
@@ -274,7 +278,7 @@ def llama_block(
         k_all, v_all = kh, vh
         new_kv = None
 
-    if s == 1 and kv is not None and _pallas_attn_enabled():
+    if s == 1 and kv is not None and _pallas_attn_enabled(k_all.shape[2]):
         # single-token decode: length-aware Pallas attention reads only the
         # valid cache prefix (FT single_query_attention equivalent)
         from qeft_tpu.ops.pallas_attention import decode_attention

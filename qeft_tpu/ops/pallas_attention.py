@@ -36,17 +36,29 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _default_blk(s_max: int) -> int:
+    """On-chip A/B (BASELINE.md round 2): bigger S-blocks win — 512-slot
+    cache: blk 512 62.24 tok/s vs blk 256 61.79; 4096-slot: blk 1024
+    35.22 vs blk 256 34.65 (XLA attention: 62.75 / 33.06)."""
+    import os
+
+    env = os.environ.get("QEFT_ATTN_BLK")
+    if env:
+        return int(env)
+    return min(1024, s_max)
+
+
 def decode_attention(
     q: jax.Array,  # [B, H, D] (RoPE already applied)
     k_cache: jax.Array,  # [B, H_kv, S, D] head-major (new K already written)
     v_cache: jax.Array,  # [B, H_kv, S, D]
     pos: jax.Array,  # scalar int32: index of the current token
-    blk: int = 256,
+    blk: int = 0,  # 0 -> QEFT_ATTN_BLK (default 256)
 ) -> jax.Array:
     b, h, d = q.shape
     _, hkv, s_max, _ = k_cache.shape
     n_rep = h // hkv
-    blk = min(blk, s_max)
+    blk = min(blk or _default_blk(s_max), s_max)
     assert s_max % blk == 0
     n_s = s_max // blk
     scale = d**-0.5
