@@ -43,6 +43,11 @@ def eval_ppl(
     n_windows = len(test_tokens) // seqlen
     if max_windows:
         n_windows = min(n_windows, max_windows)
+    if n_windows == 0:
+        raise ValueError(
+            f"test set ({len(test_tokens)} tokens) shorter than one eval "
+            f"window (seqlen={seqlen}); pass a smaller --seqlen"
+        )
     assert n_windows > 0, "test stream shorter than one window"
 
     total = 0.0

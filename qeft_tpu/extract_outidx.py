@@ -37,7 +37,28 @@ def add_common_quant_args(parser: argparse.ArgumentParser):
     parser.add_argument("--act-order", dest="act_order", action="store_true")
     parser.add_argument("--true-sequential", dest="true_sequential", action="store_true")
     parser.add_argument("--nearest_owq", action="store_true")
+    parser.add_argument("--nearest", action="store_true",
+                        help="plain RTN, no OWQ outliers (reference main.py:267-273)")
     parser.add_argument("--perhead", type=int, default=None)
+    parser.add_argument("--layers", type=str, nargs="*", default=None,
+                        help="restrict OWQ outliers to these linears (others "
+                             "quantize with 0 outliers; reference misc.py:160-177)")
+    parser.add_argument("--dtype", type=str, default="auto",
+                        choices=["auto", "float32", "bfloat16", "float16"])
+    parser.add_argument("--trust_remote_code", action="store_true",
+                        help="accepted for reference-CLI compatibility; our "
+                             "loader reads safetensors directly and never "
+                             "executes model code, so this is a no-op")
+
+
+def resolve_dtype(name):
+    """Reference `interpret_dtype` (utils/misc.py:39-56)."""
+    import jax.numpy as jnp
+
+    if name is None or name == "auto":
+        return None
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+            "float16": jnp.float16}[name]
 
 
 def load_model_and_meta(model: str, dtype=None):
@@ -45,32 +66,39 @@ def load_model_and_meta(model: str, dtype=None):
     import jax
     import jax.numpy as jnp
 
+    from qeft_tpu.models import bloom as bloom_mod
+    from qeft_tpu.models import falcon as falcon_mod
     from qeft_tpu.models import opt as opt_mod
+    from qeft_tpu.models import phi as phi_mod
     from qeft_tpu.models.llama import LLAMA_PRESETS, init_params
     from qeft_tpu.models.registry import get_model_meta
 
-    if model in LLAMA_PRESETS:
-        cfg = LLAMA_PRESETS[model]
-        params = init_params(cfg, jax.random.PRNGKey(0), dtype=dtype or jnp.float32)
-        meta = get_model_meta("gemma" if "gemma" in model else "llama")
-    elif model in opt_mod.OPT_PRESETS:
-        cfg = opt_mod.OPT_PRESETS[model]
-        params = opt_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype or jnp.float32)
-        meta = get_model_meta("opt")
-    elif os.path.isdir(model):
+    preset_tables = (
+        ("llama", LLAMA_PRESETS, init_params),
+        ("opt", opt_mod.OPT_PRESETS, opt_mod.init_params),
+        ("phi", phi_mod.PHI_PRESETS, phi_mod.init_params),
+        ("bloom", bloom_mod.BLOOM_PRESETS, bloom_mod.init_params),
+        ("falcon", falcon_mod.FALCON_PRESETS, falcon_mod.init_params),
+    )
+    for fam, table, init in preset_tables:
+        if model in table:
+            cfg = table[model]
+            params = init(cfg, jax.random.PRNGKey(0), dtype=dtype or jnp.float32)
+            meta = get_model_meta("gemma" if "gemma" in model else fam)
+            return params, cfg, meta
+    if os.path.isdir(model):
         from qeft_tpu.models.hf_loader import load_hf_model
 
         params, cfg, family = load_hf_model(model, dtype=dtype or jnp.bfloat16)
-        meta = get_model_meta(family)
-    else:
-        raise ValueError(f"unknown model {model}")
-    return params, cfg, meta
+        return params, cfg, get_model_meta(family)
+    raise ValueError(f"unknown model {model}")
 
 
 def build_quantize_args(args):
     from qeft_tpu.pipeline import QuantizeArgs
     from qeft_tpu.quant.quantizer import QuantSpec
 
+    nearest = getattr(args, "nearest", False)
     return QuantizeArgs(
         spec=QuantSpec(
             bits=args.wbits,
@@ -78,15 +106,19 @@ def build_quantize_args(args):
             mse=(args.tuning == "mse"),
             group_size=args.groupsize,
         ),
-        target_rank=args.target_rank,
-        target_bit=args.target_bit,
+        # plain --nearest: RTN with no outlier columns at all
+        target_rank=None if nearest else args.target_rank,
+        target_bit=None if nearest else args.target_bit,
         percdamp=args.percdamp,
         act_order=args.act_order,
         no_frob_norm=args.no_frob_norm,
-        rtn=getattr(args, "nearest_owq", False),
+        rtn=nearest or getattr(args, "nearest_owq", False),
         true_sequential=getattr(args, "true_sequential", False),
         nsamples=args.nsamples,
         perhead=args.perhead,
+        owq_layers=(
+            tuple(args.layers) if getattr(args, "layers", None) else None
+        ),
     )
 
 
@@ -99,7 +131,7 @@ def main():
     from qeft_tpu.data import get_calibration_tokens
     from qeft_tpu.pipeline import extract_global_outidx
 
-    params, cfg, meta = load_model_and_meta(args.model)
+    params, cfg, meta = load_model_and_meta(args.model, dtype=resolve_dtype(args.dtype))
     seqlen = args.seqlen or min(cfg.max_position_embeddings, 2048)
     calib = get_calibration_tokens(
         args.dataset, args.nsamples, args.seed, seqlen,

@@ -36,6 +36,10 @@ def main():
     parser.add_argument("--fake", action="store_true")
     parser.add_argument("--packing", action="store_true")
     parser.add_argument("--eval", action="store_true", help="PPL eval after quantize/load")
+    parser.add_argument("--eval_datasets", type=str, default="",
+                        help="comma list for the post-quantization PPL sweep "
+                             "(reference main.py:556-568 runs wikitext2/ptb/c4); "
+                             "default: the calibration dataset only")
     parser.add_argument("--eval_windows", type=int, default=0)
     parser.add_argument("--benchmark", type=int, default=0)
     parser.add_argument("--logfile", type=str, default="")
@@ -55,7 +59,9 @@ def main():
         meta = get_model_meta(family)
         quantizers = None
     else:
-        params, cfg, meta = load_model_and_meta(args.model)
+        from qeft_tpu.extract_outidx import resolve_dtype
+
+        params, cfg, meta = load_model_and_meta(args.model, dtype=resolve_dtype(args.dtype))
         quantizers = None
         if args.wbits < 16:
             from qeft_tpu.data import get_calibration_tokens
@@ -78,6 +84,9 @@ def main():
             )
             qargs = build_quantize_args(args)
             qargs.reorder = args.reorder
+            if meta.family == "falcon":
+                # reference forces percdamp=1.0 for falcon (utils/misc.py:132-136)
+                qargs.percdamp = 1.0
             tick = time.time()
             params, quantizers = quantize_model(params, calib, cfg, meta, qargs, outidx)
             results["quantize_time_s"] = round(time.time() - tick, 1)
@@ -107,9 +116,15 @@ def main():
         from qeft_tpu.data import get_loaders
         from qeft_tpu.eval import eval_ppl
 
-        for ds in [args.dataset]:
+        eval_sets = (
+            [s.strip() for s in args.eval_datasets.split(",") if s.strip()]
+            or [args.dataset]
+        )
+        for ds in eval_sets:
             test = get_loaders(ds, train=False, model=args.model, vocab_size=cfg.vocab_size)
-            seqlen = args.seqlen or min(cfg.max_position_embeddings, 2048)
+            # reference protocol: the eval window is the FULL context length
+            # (main.py:516-521 sets model.seqlen = max_position_embeddings)
+            seqlen = args.seqlen or cfg.max_position_embeddings
             ppl = eval_ppl(
                 params, test, cfg, seqlen=seqlen, max_windows=args.eval_windows, api=api
             )

@@ -58,6 +58,16 @@ def main(argv=None):
     parser.add_argument("--nsamples", type=int, default=None)
     parser.add_argument("--no_remat", action="store_true")
     parser.add_argument("--epochs", type=int, default=100)
+    # MMLU eval callback during training (reference finetune.py:970-1034 runs
+    # a periodic MMLU accuracy eval on the training model)
+    parser.add_argument("--do_mmlu_eval", action="store_true")
+    parser.add_argument("--mmlu_eval_steps", type=int, default=0,
+                        help="eval every N steps (default: save_steps)")
+    parser.add_argument("--mmlu_source", type=str, default="synthetic",
+                        help="'synthetic' (hermetic) or a HF tokenizer dir "
+                             "for cais/mmlu")
+    parser.add_argument("--mmlu_n", type=int, default=64)
+    parser.add_argument("--mmlu_split", type=str, default="validation")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -106,6 +116,28 @@ def main(argv=None):
         epochs=args.epochs,
     )
 
+    mmlu_examples = None
+    if args.do_mmlu_eval:
+        from qeft_tpu.eval_mc import load_mmlu_examples, synthetic_mc_examples
+
+        if args.mmlu_source == "synthetic":
+            mmlu_examples = synthetic_mc_examples(args.mmlu_n, cfg.vocab_size, args.seed)
+        else:
+            mmlu_examples = load_mmlu_examples(
+                args.mmlu_source, split=args.mmlu_split, n=args.mmlu_n
+            )
+
+    def run_mmlu(step, ow):
+        """Periodic MC-accuracy eval on the CURRENT training model (merged
+        oweights), reference finetune.py:970-1034."""
+        from qeft_tpu.eval_mc import evaluate_mc
+        from qeft_tpu.finetune import merge_wct
+
+        res = evaluate_mc(merge_wct(ow, frozen), mmlu_examples, cfg)
+        print(f"step {step}  mmlu-eval accuracy {res['accuracy']:.4f} (n={res['n']})")
+        return {"step": step, "mmlu_accuracy": res["accuracy"], "mmlu_n": res["n"]}
+
+    mmlu_every = args.mmlu_eval_steps or args.save_steps
     metrics = []
     t0 = time.time()
     step = start_step
@@ -125,7 +157,11 @@ def main(argv=None):
             save_wct(
                 os.path.join(args.output_dir, f"wct_step{step}"), oweights, args.load
             )
+        if mmlu_examples is not None and step % mmlu_every == 0:
+            metrics.append(run_mmlu(step, oweights))
 
+    if mmlu_examples is not None:
+        metrics.append(run_mmlu(step, oweights))
     save_wct(os.path.join(args.output_dir, "wct_final"), oweights, args.load)
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1)
