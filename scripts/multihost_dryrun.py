@@ -1,0 +1,130 @@
+"""2-process CPU dryrun of the multi-host path (VERDICT round-1 missing #6).
+
+Launcher mode (no args): spawns TWO child processes of this script, each a
+separate JAX process with 4 virtual CPU devices, wired through a local
+coordinator.  Each child joins the runtime, builds the SAME tiny packed
+model, lays a global (dp=2 hosts, tp=4 local) mesh, feeds its host-local
+half of the batch, and runs two WCT train steps.  The launcher checks both
+exit codes; the children check that their losses agree (the dp psum crossed
+the process boundary correctly).
+
+    python scripts/multihost_dryrun.py          # launcher
+    JAX_PROCESS_ID=0 ... python scripts/multihost_dryrun.py --child
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+
+def free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def launcher() -> int:
+    port = free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            PYTHONPATH="/root/repo",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    ok = True
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        tail = out.decode(errors="replace").strip().splitlines()[-6:]
+        print(f"--- process {pid} (exit {p.returncode}) ---")
+        print("\n".join(tail))
+        ok &= p.returncode == 0
+    print("MULTIHOST DRYRUN", "OK" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+def child():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from qeft_tpu.finetune import TrainConfig, make_optimizer, make_train_step, split_wct
+    from qeft_tpu.models.llama import LlamaConfig
+    from qeft_tpu.models.registry import get_model_meta
+    from qeft_tpu.parallel.multihost import (
+        all_hosts_agree,
+        global_mesh,
+        host_local_batch,
+        init_distributed,
+        process_slice,
+    )
+    from qeft_tpu.parallel.mesh import param_shardings
+    from qeft_tpu.testing import build_packed_model
+
+    assert init_distributed(), "env not set by launcher?"
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, jax.devices()
+
+    mesh = global_mesh(tp=4)  # dp=2 across the two processes
+    meta = get_model_meta("llama")
+    cfg = LlamaConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=64, max_position_embeddings=128,
+    )
+    # every process builds the identical model (same seed), then shards onto
+    # the global mesh — on a real pod this is the checkpoint-restore path
+    packed = build_packed_model(cfg, jax.random.PRNGKey(0), g=64, r=16)
+    shardings = param_shardings(packed, mesh, meta)
+    packed = jax.tree.map(
+        lambda a, s: jax.make_array_from_callback(
+            a.shape, s, lambda idx: np.asarray(a[idx])
+        ),
+        packed, shardings,
+    )
+    oweights, frozen = split_wct(packed, meta)
+
+    tc = TrainConfig(learning_rate=1e-4, total_steps=4, remat=True)
+    opt = make_optimizer(tc)
+    opt_state = opt.init(oweights)
+    step = make_train_step(cfg, opt, remat=True)
+
+    n_global, seqlen = 4, 32
+    rng = np.random.default_rng(0)
+    ids_global = rng.integers(0, cfg.vocab_size, (n_global, seqlen))
+    losses = []
+    for i in range(2):
+        mine = ids_global[process_slice(n_global)]  # this host's rows only
+        ids = host_local_batch(mine, mesh)
+        oweights, opt_state, loss = step(oweights, opt_state, frozen, ids, ids)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)), losses
+    assert all_hosts_agree(losses[-1], tol=1e-6), "loss differs across hosts"
+    print(
+        f"process {jax.process_index()}: devices={len(jax.devices())} "
+        f"mesh=(dp=2,tp=4) losses={[round(l, 4) for l in losses]} OK"
+    )
+
+
+if __name__ == "__main__":
+    if "--child" in sys.argv:
+        child()
+    else:
+        sys.exit(launcher())
