@@ -142,27 +142,73 @@ def main():
                 print(f"{ds} ppl (packed): {ppl_packed:.4f}  (fake-vs-packed delta {delta:.2%})")
 
     if args.benchmark:
+        import jax
+
+        from qeft_tpu.data import get_loaders
         from qeft_tpu.generate import SampleConfig, generate
 
+        n = args.benchmark
+
+        # (a) throughput: the whole prefill+decode loop in one jit — the
+        # TPU-native number (host<->device round trip once per sequence).
         ctx = 64
         prompt = jnp.asarray(
             np.random.default_rng(args.seed).integers(0, cfg.vocab_size, (1, ctx))
         )
-        cache = api.init_cache(cfg, 1, ctx + args.benchmark, dtype=jnp.bfloat16)
-        tokens, _ = generate(
-            params, prompt, cache, cfg, args.benchmark, SampleConfig(), api=api
-        )
+        cache = api.init_cache(cfg, 1, ctx + n, dtype=jnp.bfloat16)
+        tokens, _ = generate(params, prompt, cache, cfg, n, SampleConfig(), api=api)
         np.asarray(tokens)  # compile + run
         tick = time.time()
-        tokens, _ = generate(
-            params, prompt, cache, cfg, args.benchmark, SampleConfig(), api=api
-        )
+        tokens, _ = generate(params, prompt, cache, cfg, n, SampleConfig(), api=api)
         np.asarray(tokens)
         dt = time.time() - tick
-        results["decode_tokens_per_s"] = round(args.benchmark / dt, 2)
-        results["ms_per_token"] = round(dt / args.benchmark * 1e3, 2)
+        results["decode_tokens_per_s"] = round(n / dt, 2)
+        results["ms_per_token"] = round(dt / n * 1e3, 2)
         print(f"decode: {results['decode_tokens_per_s']} tokens/s "
               f"({results['ms_per_token']} ms/token)")
+
+        # (b) the reference's per-token protocol (main.py:310-371): feed real
+        # data tokens one at a time through the decode path, time each step
+        # with a device sync, accumulate next-token NLL outside the timed
+        # region; report median/min latency, streaming PPL (a broken kernel
+        # shows up as PPL divergence, not just timing), and peak memory
+        # (benchmark.py:337).
+        data = get_loaders(
+            args.dataset, nsamples=1, seed=args.seed, seqlen=n,
+            model=args.model, train=True, vocab_size=cfg.vocab_size,
+        )
+        input_ids = jnp.asarray(np.asarray(data)[:1, :n])
+        step = jax.jit(api.decode_step, static_argnames=("cfg",))
+        nll = jax.jit(
+            lambda lg, t: -jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)[0, t]
+        )
+        cache = api.init_cache(cfg, 1, n, dtype=jnp.bfloat16)
+        logits, _ = step(params, input_ids[:, :1], cache, jnp.int32(0), cfg)
+        jax.block_until_ready(nll(logits, input_ids[0, 1]))  # compile both
+        times = []
+        tot = 0.0
+        for i in range(n):
+            tick = time.perf_counter()
+            logits, cache = step(params, input_ids[:, i:i + 1], cache,
+                                 jnp.int32(i), cfg)
+            jax.block_until_ready(logits)
+            times.append(time.perf_counter() - tick)
+            if i != n - 1:
+                tot += float(nll(logits, input_ids[0, i + 1]))
+        results["median_token_latency_ms"] = round(float(np.median(times)) * 1e3, 3)
+        results["min_token_latency_ms"] = round(float(np.min(times)) * 1e3, 3)
+        results["streaming_ppl"] = round(float(np.exp(tot / (n - 1))), 4)
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            if "peak_bytes_in_use" in stats:
+                results["peak_memory_gb"] = round(stats["peak_bytes_in_use"] / 1e9, 3)
+        except Exception:
+            pass
+        print(f"per-token: median {results['median_token_latency_ms']} ms, "
+              f"min {results['min_token_latency_ms']} ms, "
+              f"streaming ppl {results['streaming_ppl']}"
+              + (f", peak mem {results['peak_memory_gb']} GB"
+                 if "peak_memory_gb" in results else ""))
 
     if args.logfile:
         with open(args.logfile, "a") as f:

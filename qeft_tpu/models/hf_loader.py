@@ -191,8 +191,214 @@ def load_hf_opt(path: str, dtype=jnp.bfloat16) -> Tuple[Dict, OPTConfig]:
     return params, cfg
 
 
+# ---------------------------------------------------------------------------
+# phi / bloom / falcon families
+
+
+def _reader(path: str):
+    """(get(name) -> np.ndarray, has(name) -> bool) over the shard set."""
+    from safetensors import safe_open
+
+    key_to_file, base = _open_shards(path)
+    handles = {}
+
+    def get(name: str) -> np.ndarray:
+        fname = key_to_file[name]
+        if fname not in handles:
+            handles[fname] = safe_open(os.path.join(base, fname), framework="np")
+        return handles[fname].get_tensor(name)
+
+    return get, (lambda name: name in key_to_file)
+
+
+def load_hf_phi(path: str, dtype=jnp.bfloat16):
+    """HF PhiForCausalLM (phi-1/1.5/2) -> our parallel-block pytree."""
+    import jax
+
+    from qeft_tpu.models.phi import PhiConfig
+
+    with open(os.path.join(path, "config.json")) as f:
+        hc = json.load(f)
+    cfg = PhiConfig(
+        vocab_size=hc["vocab_size"],
+        hidden_size=hc["hidden_size"],
+        intermediate_size=hc["intermediate_size"],
+        num_layers=hc["num_hidden_layers"],
+        num_heads=hc["num_attention_heads"],
+        num_kv_heads=hc.get("num_key_value_heads") or hc["num_attention_heads"],
+        max_position_embeddings=hc.get("max_position_embeddings", 2048),
+        layer_norm_eps=hc.get("layer_norm_eps", 1e-5),
+        partial_rotary_factor=hc.get("partial_rotary_factor", 0.5),
+        rope_theta=hc.get("rope_theta", 10000.0),
+    )
+    get, has = _reader(path)
+
+    def arr(name):
+        return jnp.asarray(get(name), dtype=dtype)
+
+    names = {"q": "self_attn.q_proj", "k": "self_attn.k_proj",
+             "v": "self_attn.v_proj", "o": "self_attn.dense",
+             "fc1": "mlp.fc1", "fc2": "mlp.fc2"}
+    blocks = []
+    for i in range(cfg.num_layers):
+        pre = f"model.layers.{i}."
+        blk = {
+            "input_ln": arr(pre + "input_layernorm.weight"),
+            "input_ln_b": arr(pre + "input_layernorm.bias"),
+        }
+        for ours, theirs in names.items():
+            blk[ours] = jnp.asarray(get(pre + theirs + ".weight").T, dtype=dtype)
+            blk[ours + "_b"] = arr(pre + theirs + ".bias")
+        blocks.append(blk)
+
+    params = {
+        "embed": arr("model.embed_tokens.weight"),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "final_ln": arr("model.final_layernorm.weight"),
+        "final_ln_b": arr("model.final_layernorm.bias"),
+        "lm_head": jnp.asarray(get("lm_head.weight").T, dtype=dtype),
+        "lm_head_b": (
+            arr("lm_head.bias")
+            if has("lm_head.bias")
+            else jnp.zeros((cfg.vocab_size,), dtype)
+        ),
+    }
+    return params, cfg
+
+
+def load_hf_bloom(path: str, dtype=jnp.bfloat16):
+    """HF BloomForCausalLM -> our pytree.  HF's fused query_key_value is
+    head-INTERLEAVED ([H, 3, Dh] output rows, megatron lineage); our layout
+    is contiguous [q | k | v], so the loader de-interleaves once."""
+    import jax
+
+    from qeft_tpu.models.bloom import BloomConfig
+
+    with open(os.path.join(path, "config.json")) as f:
+        hc = json.load(f)
+    d = hc.get("hidden_size") or hc["n_embed"]
+    h = hc.get("num_attention_heads") or hc["n_head"]
+    cfg = BloomConfig(
+        vocab_size=hc["vocab_size"],
+        hidden_size=d,
+        num_layers=hc.get("num_hidden_layers") or hc["n_layer"],
+        num_heads=h,
+        layer_norm_eps=hc.get("layer_norm_epsilon", 1e-5),
+    )
+    get, has = _reader(path)
+    dh = d // h
+
+    def arr(name):
+        return jnp.asarray(get(name), dtype=dtype)
+
+    def deinterleave_qkv_w(w):  # [3D, D] rows [H, 3, Dh] -> our [K=D, N=3D]
+        q, k, v = np.moveaxis(w.reshape(h, 3, dh, d), 1, 0)  # each [H, Dh, D]
+        return jnp.asarray(
+            np.concatenate([q.reshape(d, d), k.reshape(d, d), v.reshape(d, d)]).T,
+            dtype=dtype,
+        )
+
+    def deinterleave_qkv_b(b):  # [3D] -> [3D] in our order
+        q, k, v = np.moveaxis(b.reshape(h, 3, dh), 1, 0)
+        return jnp.asarray(np.concatenate([q.ravel(), k.ravel(), v.ravel()]), dtype=dtype)
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        pre = f"transformer.h.{i}."
+        blocks.append({
+            "attn_ln": arr(pre + "input_layernorm.weight"),
+            "attn_ln_b": arr(pre + "input_layernorm.bias"),
+            "post_ln": arr(pre + "post_attention_layernorm.weight"),
+            "post_ln_b": arr(pre + "post_attention_layernorm.bias"),
+            "qkv": deinterleave_qkv_w(get(pre + "self_attention.query_key_value.weight")),
+            "qkv_b": deinterleave_qkv_b(get(pre + "self_attention.query_key_value.bias")),
+            "dense": jnp.asarray(get(pre + "self_attention.dense.weight").T, dtype=dtype),
+            "dense_b": arr(pre + "self_attention.dense.bias"),
+            "fc1": jnp.asarray(get(pre + "mlp.dense_h_to_4h.weight").T, dtype=dtype),
+            "fc1_b": arr(pre + "mlp.dense_h_to_4h.bias"),
+            "fc2": jnp.asarray(get(pre + "mlp.dense_4h_to_h.weight").T, dtype=dtype),
+            "fc2_b": arr(pre + "mlp.dense_4h_to_h.bias"),
+        })
+
+    embed = arr("transformer.word_embeddings.weight")
+    params = {
+        "embed": embed,
+        "embed_ln": arr("transformer.word_embeddings_layernorm.weight"),
+        "embed_ln_b": arr("transformer.word_embeddings_layernorm.bias"),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "final_ln": arr("transformer.ln_f.weight"),
+        "final_ln_b": arr("transformer.ln_f.bias"),
+        "lm_head": (
+            jnp.asarray(get("lm_head.weight").T, dtype=dtype)
+            if has("lm_head.weight")
+            else embed.T  # bloom ties lm_head to the embedding
+        ),
+    }
+    return params, cfg
+
+
+def load_hf_falcon(path: str, dtype=jnp.bfloat16):
+    """HF FalconForCausalLM (falcon-7b lineage: multi_query, parallel_attn,
+    no linear biases) -> our pytree.  In multi-query layout HF's fused qkv
+    rows are already [all q heads | k | v], matching our contiguous layout."""
+    import jax
+
+    from qeft_tpu.models.falcon import FalconConfig
+
+    with open(os.path.join(path, "config.json")) as f:
+        hc = json.load(f)
+    if not hc.get("multi_query", True) or hc.get("new_decoder_architecture"):
+        raise NotImplementedError(
+            "falcon loader supports the falcon-7b lineage (multi_query, "
+            "parallel_attn, not new_decoder_architecture)"
+        )
+    cfg = FalconConfig(
+        vocab_size=hc["vocab_size"],
+        hidden_size=hc["hidden_size"],
+        num_layers=hc["num_hidden_layers"],
+        num_heads=hc["num_attention_heads"],
+        num_kv_heads=1,
+        layer_norm_eps=hc.get("layer_norm_epsilon", 1e-5),
+        rope_theta=hc.get("rope_theta", 10000.0),
+    )
+    get, has = _reader(path)
+
+    def arr(name):
+        return jnp.asarray(get(name), dtype=dtype)
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        pre = f"transformer.h.{i}."
+        blocks.append({
+            "attn_ln": arr(pre + "input_layernorm.weight"),
+            "attn_ln_b": arr(pre + "input_layernorm.bias"),
+            "qkv": jnp.asarray(
+                get(pre + "self_attention.query_key_value.weight").T, dtype=dtype
+            ),
+            "dense": jnp.asarray(get(pre + "self_attention.dense.weight").T, dtype=dtype),
+            "fc1": jnp.asarray(get(pre + "mlp.dense_h_to_4h.weight").T, dtype=dtype),
+            "fc2": jnp.asarray(get(pre + "mlp.dense_4h_to_h.weight").T, dtype=dtype),
+        })
+
+    embed = arr("transformer.word_embeddings.weight")
+    params = {
+        "embed": embed,
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "final_ln": arr("transformer.ln_f.weight"),
+        "final_ln_b": arr("transformer.ln_f.bias"),
+        "lm_head": (
+            jnp.asarray(get("lm_head.weight").T, dtype=dtype)
+            if has("lm_head.weight")
+            else embed.T
+        ),
+    }
+    return params, cfg
+
+
 def load_hf_model(path: str, dtype=jnp.bfloat16):
-    """model_type dispatch -> (params, config, family)."""
+    """model_type dispatch -> (params, config, family).  The reference
+    dispatches by model-name matching (utils/misc.py:69-95) and loads via
+    AutoModel; here config.json's model_type picks the family loader."""
     with open(os.path.join(path, "config.json")) as f:
         mt = json.load(f).get("model_type", "llama").lower()
     if mt == "opt":
@@ -201,4 +407,13 @@ def load_hf_model(path: str, dtype=jnp.bfloat16):
     if mt in ("llama", "gemma", "mistral"):
         params, cfg = load_hf_llama(path, dtype=dtype)
         return params, cfg, "gemma" if mt == "gemma" else "llama"
+    if mt == "phi":
+        params, cfg = load_hf_phi(path, dtype=dtype)
+        return params, cfg, "phi"
+    if mt == "bloom":
+        params, cfg = load_hf_bloom(path, dtype=dtype)
+        return params, cfg, "bloom"
+    if mt == "falcon":
+        params, cfg = load_hf_falcon(path, dtype=dtype)
+        return params, cfg, "falcon"
     raise NotImplementedError(f"HF model_type {mt!r} not supported")

@@ -770,6 +770,32 @@ def _permute_state_rows(quantizers: Dict, key, ids: jax.Array):
 # packing
 
 
+def rtn_pack_linear(
+    w_kn: jax.Array, bits: int = 4, group_size: int = 128, dtype=jnp.bfloat16
+):
+    """RTN-quantize a dense [K, N] linear into packed form (no outliers, no
+    Hessian).  Used for the lm_head: the reference streams it in fp16, but on
+    TPU its ~0.26 GB/token (7B) is ~6%% of decode HBM traffic — int4+scales
+    cuts that ~7x with a per-group minmax fit."""
+    from qeft_tpu.ops.packing import pack_layer
+    from qeft_tpu.quant.quantizer import QuantSpec, find_params
+
+    k, n = w_kn.shape
+    g = group_size if group_size > 0 else k
+    assert k % g == 0
+    n_groups = k // g
+    spec = QuantSpec(bits=bits, sym=False, mse=False, group_size=g)
+    # rows for find_params: one per (out-channel, group) slice of length g
+    rows = w_kn.reshape(n_groups, g, n).transpose(2, 0, 1).reshape(n * n_groups, g)
+    qp = find_params(rows.astype(jnp.float32), spec)
+    scale_group = qp.scale.reshape(n, n_groups)
+    zero_group = qp.zero.reshape(n, n_groups)
+    return pack_layer(
+        w_kn, scale_group, zero_group, n_outlier=0, group_size=g,
+        sym=False, bits=bits, dtype=dtype,
+    )
+
+
 def _fuse_stage(nb: Dict, names, fused_name: str):
     """Concatenate same-stage packed linears along N (valid under OGR: all
     stage members share the input permutation and group layout)."""
