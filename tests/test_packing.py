@@ -110,3 +110,24 @@ def test_low_bit_fake_vs_packed_parity(bits):
     y_fake = np.asarray(xq) @ np.asarray(res.w_fake).T
     y_packed = np.asarray(qlinear_xla(jnp.take(xq, dense_ids, axis=-1), p, dtype=jnp.float32))
     np.testing.assert_allclose(y_packed, y_fake, rtol=2e-4, atol=2e-4)
+
+
+def test_rtn_pack_linear_lm_head():
+    """rtn_pack_linear (used for the int4 lm_head, QEFT_QUANT_LMHEAD) must be
+    a per-group minmax RTN fit: every element within scale/2 of the original,
+    and the packed forward == matmul with the dequantized weight."""
+    from qeft_tpu.pipeline import rtn_pack_linear
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(256, 96)).astype(np.float32)  # [K, N]
+    g = 64
+    p = rtn_pack_linear(jnp.asarray(w), bits=4, group_size=g, dtype=jnp.float32)
+    assert p.oweight is None and p.in_features == 256
+
+    wq = np.asarray(dequantize_weight(p, dtype=jnp.float32))
+    scale_el = np.repeat(np.asarray(p.scales, dtype=np.float32), g, axis=0)
+    assert np.all(np.abs(w - wq) <= scale_el / 2 + 1e-5)
+
+    x = rng.normal(size=(4, 256)).astype(np.float32)
+    y = np.asarray(qlinear_xla(jnp.asarray(x), p, dtype=jnp.float32))
+    np.testing.assert_allclose(y, x @ wq, rtol=1e-5, atol=1e-5)
