@@ -140,6 +140,8 @@ def main():
         out["seq_tokens_per_s"] = round(toks_per_s * BATCH, 2)
     if QUANT_LMHEAD:
         out["quant_lmhead"] = True
+    if os.environ.get("QEFT_KV_DTYPE", "").lower() == "int8":
+        out["kv_int8"] = True
     print(json.dumps(out))
 
 

@@ -161,6 +161,8 @@ def save_fake(path: str, params: Dict, quantizers: Dict, cfg, family: str = "lla
         qflat[base + "zero_group"] = np.asarray(st.zero_group)
         qflat[base + "out_ids"] = np.asarray(st.out_ids)
         qflat[base + "flags"] = np.asarray([int(st.sym), st.bits, st.group_size])
+        if st.perm_ids is not None:  # act-order quantization permutation
+            qflat[base + "perm_ids"] = np.asarray(st.perm_ids)
     flat = _flatten(params)
     flat.update(qflat)
     np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
@@ -196,6 +198,9 @@ def load_fake(path: str):
             zero_group=jnp.asarray(fields["zero_group"]),
             out_ids=jnp.asarray(fields["out_ids"]),
             sym=bool(sym), bits=int(bits), group_size=int(group_size),
+            perm_ids=(
+                jnp.asarray(fields["perm_ids"]) if "perm_ids" in fields else None
+            ),
         )
     family = manifest.get("family", "llama")
     params = _unflatten(param_flat)

@@ -80,16 +80,25 @@ def load_model_and_meta(model: str, dtype=None):
         ("bloom", bloom_mod.BLOOM_PRESETS, bloom_mod.init_params),
         ("falcon", falcon_mod.FALCON_PRESETS, falcon_mod.init_params),
     )
+    # materialize the full model HOST-side: the quantization pipeline streams
+    # one block at a time to the device (_block_at); initializing on the TPU
+    # would park the whole model (13.5 GB at 7B bf16) in HBM and leave no
+    # headroom for the calibration compute
+    host = jax.devices("cpu")[0]
     for fam, table, init in preset_tables:
         if model in table:
             cfg = table[model]
-            params = init(cfg, jax.random.PRNGKey(0), dtype=dtype or jnp.float32)
+            with jax.default_device(host):
+                # rbg keys: threefry on host CPU takes minutes at 7B scale
+                params = init(cfg, jax.random.key(0, impl="rbg"),
+                              dtype=dtype or jnp.float32)
             meta = get_model_meta("gemma" if "gemma" in model else fam)
             return params, cfg, meta
     if os.path.isdir(model):
         from qeft_tpu.models.hf_loader import load_hf_model
 
-        params, cfg, family = load_hf_model(model, dtype=dtype or jnp.bfloat16)
+        with jax.default_device(host):
+            params, cfg, family = load_hf_model(model, dtype=dtype or jnp.bfloat16)
         return params, cfg, get_model_meta(family)
     raise ValueError(f"unknown model {model}")
 

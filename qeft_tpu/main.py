@@ -113,8 +113,27 @@ def main():
     api = get_model_api(meta.family)
 
     if args.eval:
+        import jax
+
         from qeft_tpu.data import get_loaders
-        from qeft_tpu.eval import eval_ppl
+        from qeft_tpu.eval import eval_ppl, eval_ppl_streamed
+
+        def tree_gb(tree):
+            return sum(
+                l.size * l.dtype.itemsize for l in jax.tree.leaves(tree)
+            ) / 1e9
+
+        # models too big to sit whole in HBM next to the eval compute stream
+        # one block at a time (the reference's eval is layer-streamed too,
+        # main.py:195-308); packed models are ~4x smaller and eval jitted
+        stream_eval = (
+            jax.default_backend() == "tpu"
+            and meta.family in ("llama", "gemma")
+            and tree_gb(params) > 6.0
+        )
+
+        if packed is not None and jax.default_backend() == "tpu":
+            packed = jax.device_put(packed)  # one transfer, not one per window
 
         eval_sets = (
             [s.strip() for s in args.eval_datasets.split(",") if s.strip()]
@@ -125,9 +144,16 @@ def main():
             # reference protocol: the eval window is the FULL context length
             # (main.py:516-521 sets model.seqlen = max_position_embeddings)
             seqlen = args.seqlen or cfg.max_position_embeddings
-            ppl = eval_ppl(
-                params, test, cfg, seqlen=seqlen, max_windows=args.eval_windows, api=api
-            )
+            if stream_eval:
+                ppl = eval_ppl_streamed(
+                    params, test, cfg, meta, seqlen=seqlen,
+                    max_windows=args.eval_windows,
+                )
+            else:
+                ppl = eval_ppl(
+                    params, test, cfg, seqlen=seqlen, max_windows=args.eval_windows,
+                    api=api,
+                )
             results[f"ppl_{ds}"] = round(ppl, 4)
             print(f"{ds} ppl: {ppl:.4f}")
             if packed is not None:

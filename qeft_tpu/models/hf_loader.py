@@ -146,17 +146,8 @@ _HF_OPT_MAP = {
 
 
 def load_hf_opt(path: str, dtype=jnp.bfloat16) -> Tuple[Dict, OPTConfig]:
-    from safetensors import safe_open
-
     cfg = opt_config_from_hf(path)
-    key_to_file, base = _open_shards(path)
-    handles = {}
-
-    def get(name: str) -> np.ndarray:
-        fname = key_to_file[name]
-        if fname not in handles:
-            handles[fname] = safe_open(os.path.join(base, fname), framework="np")
-        return handles[fname].get_tensor(name)
+    get, has = _reader(path)
 
     def arr(name):
         return jnp.asarray(get(name), dtype=dtype)
@@ -184,7 +175,7 @@ def load_hf_opt(path: str, dtype=jnp.bfloat16) -> Tuple[Dict, OPTConfig]:
         "final_ln": arr("model.decoder.final_layer_norm.weight"),
         "final_ln_b": arr("model.decoder.final_layer_norm.bias"),
     }
-    if "lm_head.weight" in key_to_file:
+    if has("lm_head.weight"):
         params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype=dtype)
     else:  # tied embeddings
         params["lm_head"] = params["embed"].T

@@ -264,7 +264,21 @@ def llama_block(
     kh = k.transpose(0, 2, 1, 3)  # [B, H_kv, S, Dh] head-major
     vh = v.transpose(0, 2, 1, 3)
 
-    if kv is not None:
+    if kv is not None and len(kv) == 4:
+        # int8 cache: quantize the new vectors, store codes + scales,
+        # dequantize the whole cache for attention (XLA fuses the dequant
+        # into the attention dots' operand reads)
+        k_cache, v_cache, ks_c, vs_c = kv
+        kq, ksn = _kv_quantize(kh)
+        vq, vsn = _kv_quantize(vh)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, kq, (0, 0, cache_pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, vq, (0, 0, cache_pos, 0))
+        ks_c = jax.lax.dynamic_update_slice(ks_c, ksn, (0, 0, cache_pos))
+        vs_c = jax.lax.dynamic_update_slice(vs_c, vsn, (0, 0, cache_pos))
+        k_all = _kv_dequantize(k_cache, ks_c, dtype)
+        v_all = _kv_dequantize(v_cache, vs_c, dtype)
+        new_kv = (k_cache, v_cache, ks_c, vs_c)
+    elif kv is not None:
         k_cache, v_cache = kv
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, kh.astype(k_cache.dtype), (0, 0, cache_pos, 0)
@@ -283,7 +297,14 @@ def llama_block(
         # valid cache prefix (FT single_query_attention equivalent)
         from qeft_tpu.ops.pallas_attention import decode_attention
 
-        ctx = decode_attention(q[:, 0], k_all, v_all, cache_pos)
+        if len(kv) == 4:
+            # int8 cache codes stream directly (half the bytes); the bf16
+            # k_all/v_all dequant above is dead code XLA eliminates
+            ctx = decode_attention(
+                q[:, 0], k_cache, v_cache, cache_pos, k_scale=ks_c, v_scale=vs_c
+            )
+        else:
+            ctx = decode_attention(q[:, 0], k_all, v_all, cache_pos)
         ctx = ctx.reshape(b, 1, hq * dh)
     else:
         ctx = _attention(q, k_all, v_all, mask, hq // hkv, dtype)
@@ -342,15 +363,67 @@ def llama_forward(params: Dict, tokens: jax.Array, cfg: LlamaConfig) -> jax.Arra
     return apply_linear(params["lm_head"], x, x.dtype)
 
 
-def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
-    """Head-major static cache: [L, B, H_kv, S_max, Dh]."""
+def init_kv_cache(
+    cfg: LlamaConfig, batch: int, max_len: int, dtype=None, quantized: bool = False
+):
+    """Head-major static cache: [L, B, H_kv, S_max, Dh].
+
+    ``quantized=True`` stores int8 codes + per-(layer,batch,head,position)
+    fp32 scales — halves the KV bytes streamed per decode step vs bf16, which
+    dominates HBM traffic at long contexts (BASELINE.md: the 4096-slot cache
+    costs ~2.1 GB/token at 7B).  A capability beyond the reference (its FT
+    cache is fp16-only, ftllama_modeling.py:60-67).  QEFT_KV_DTYPE=int8 turns
+    it on by default.
+    """
+    import os
+
     dtype = dtype or cfg.dtype
+    if os.environ.get("QEFT_KV_DTYPE", "").lower() == "int8":
+        quantized = True
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    if quantized:
+        sshape = shape[:-1]
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(sshape, jnp.float32),
+            "v_scale": jnp.zeros(sshape, jnp.float32),
+        }
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def cache_quantized(cache: Dict) -> bool:
+    return "k_scale" in cache
+
+
+def _kv_of(c: Dict):
+    """Per-layer cache-slice dict -> the kv tuple llama_block consumes."""
+    if "k_scale" in c:
+        return (c["k"], c["v"], c["k_scale"], c["v_scale"])
+    return (c["k"], c["v"])
+
+
+def _kv_dict(new_kv) -> Dict:
+    if len(new_kv) == 4:
+        return {"k": new_kv[0], "v": new_kv[1],
+                "k_scale": new_kv[2], "v_scale": new_kv[3]}
+    return {"k": new_kv[0], "v": new_kv[1]}
 
 
 def cache_max_len(cache: Dict) -> int:
     return cache["k"].shape[3]
+
+
+def _kv_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[..., S, Dh] -> (int8 codes, fp32 per-vector scales [..., S])."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    codes = jnp.round(xf / scale[..., None]).astype(jnp.int8)
+    return codes, scale
+
+
+def _kv_dequantize(codes: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    return (codes.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def llama_prefill(params: Dict, tokens: jax.Array, cache: Dict, cfg: LlamaConfig):
@@ -365,16 +438,16 @@ def llama_prefill(params: Dict, tokens: jax.Array, cache: Dict, cfg: LlamaConfig
     )
 
     def body(xc, inp):
-        blk, kc, vc = inp
-        out, (kc, vc), _ = llama_block(
-            blk, xc, cfg, cos, sin, mask, kv=(kc, vc), cache_pos=jnp.int32(0)
+        blk, c = inp
+        out, new_kv, _ = llama_block(
+            blk, xc, cfg, cos, sin, mask, kv=_kv_of(c), cache_pos=jnp.int32(0)
         )
-        return out, (kc, vc)
+        return out, _kv_dict(new_kv)
 
-    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
-    return logits, {"k": ks, "v": vs}
+    return logits, new_cache
 
 
 def llama_forward_window(
@@ -397,16 +470,16 @@ def llama_forward_window(
     mask = jnp.where(key_pos <= query_pos, 0.0, -jnp.inf).astype(jnp.float32)
 
     def body(xc, inp):
-        blk, kc, vc = inp
-        out, (kc, vc), _ = llama_block(
-            blk, xc, cfg, cos, sin, mask, kv=(kc, vc), cache_pos=pos
+        blk, c = inp
+        out, new_kv, _ = llama_block(
+            blk, xc, cfg, cos, sin, mask, kv=_kv_of(c), cache_pos=pos
         )
-        return out, (kc, vc)
+        return out, _kv_dict(new_kv)
 
-    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
-    return logits, {"k": ks, "v": vs}
+    return logits, new_cache
 
 
 def llama_decode_step_ragged(
@@ -428,14 +501,16 @@ def llama_decode_step_ragged(
 
     def write_at(cache_l, new):
         # per-sequence scatter: vmap a length-1 dynamic update over the batch
-        # cache_l: [B, H_kv, S, Dh]; new: [B, H_kv, 1, Dh]
+        # cache_l: [B, H_kv, S, Dh], new [B, H_kv, 1, Dh] — or the per-vector
+        # scale planes [B, H_kv, S] / [B, H_kv, 1]
         def one(c, n, p):
-            return jax.lax.dynamic_update_slice(c, n, (0, p, 0))
+            return jax.lax.dynamic_update_slice(c, n, (0, p, 0)[: c.ndim])
 
         return jax.vmap(one)(cache_l, new, pos)
 
     def body(xc, inp):
-        blk, kc, vc = inp
+        blk, c = inp
+        kc, vc = c["k"], c["v"]
         # inline block with ragged cache write
         hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
         dtype = xc.dtype
@@ -451,9 +526,22 @@ def llama_decode_step_ragged(
             v = apply_linear(blk["v"], h, dtype).reshape(b, 1, hkv, dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kc = write_at(kc, k.transpose(0, 2, 1, 3).astype(kc.dtype))
-        vc = write_at(vc, v.transpose(0, 2, 1, 3).astype(vc.dtype))
-        ctx = _attention(q, kc.astype(dtype), vc.astype(dtype), mask, hq // hkv, dtype)
+        kh, vh = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+        if "k_scale" in c:
+            kq, ksn = _kv_quantize(kh)
+            vq, vsn = _kv_quantize(vh)
+            kc, vc = write_at(kc, kq), write_at(vc, vq)
+            ksc = write_at(c["k_scale"], ksn)
+            vsc = write_at(c["v_scale"], vsn)
+            k_read = _kv_dequantize(kc, ksc, dtype)
+            v_read = _kv_dequantize(vc, vsc, dtype)
+            new_c = {"k": kc, "v": vc, "k_scale": ksc, "v_scale": vsc}
+        else:
+            kc = write_at(kc, kh.astype(kc.dtype))
+            vc = write_at(vc, vh.astype(vc.dtype))
+            k_read, v_read = kc.astype(dtype), vc.astype(dtype)
+            new_c = {"k": kc, "v": vc}
+        ctx = _attention(q, k_read, v_read, mask, hq // hkv, dtype)
         o_in = ctx
         if "o_reorder" in blk:
             o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
@@ -467,12 +555,12 @@ def llama_decode_step_ragged(
             up = apply_linear(blk["up"], h2, dtype)
             gate = apply_linear(blk["gate"], h2, dtype)
         xc = xc + apply_linear(blk["down"], _act(gate, cfg.act) * up, dtype)
-        return xc, (kc, vc)
+        return xc, new_c
 
-    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
-    return logits[:, 0, :], {"k": ks, "v": vs}
+    return logits[:, 0, :], new_cache
 
 
 def llama_decode_step(
@@ -491,13 +579,13 @@ def llama_decode_step(
     mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
 
     def body(xc, inp):
-        blk, kc, vc = inp
-        out, (kc, vc), _ = llama_block(
-            blk, xc, cfg, cos, sin, mask, kv=(kc, vc), cache_pos=pos
+        blk, c = inp
+        out, new_kv, _ = llama_block(
+            blk, xc, cfg, cos, sin, mask, kv=_kv_of(c), cache_pos=pos
         )
-        return out, (kc, vc)
+        return out, _kv_dict(new_kv)
 
-    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
-    return logits[:, 0, :], {"k": ks, "v": vs}
+    return logits[:, 0, :], new_cache

@@ -45,7 +45,16 @@ def _default_blk(s_max: int) -> int:
     env = os.environ.get("QEFT_ATTN_BLK")
     if env:
         return int(env)
-    return min(1024, s_max)
+    return 1024
+
+
+def _fit_blk(s_max: int, cap: int) -> int:
+    """Largest S-block <= cap that divides s_max and keeps sublane alignment
+    (multiple of 8); falls back to one whole-cache block for odd lengths."""
+    for blk in range(min(cap, s_max), 7, -1):
+        if s_max % blk == 0 and blk % 8 == 0:
+            return blk
+    return s_max
 
 
 def decode_attention(
@@ -53,12 +62,22 @@ def decode_attention(
     k_cache: jax.Array,  # [B, H_kv, S, D] head-major (new K already written)
     v_cache: jax.Array,  # [B, H_kv, S, D]
     pos: jax.Array,  # scalar int32: index of the current token
-    blk: int = 0,  # 0 -> QEFT_ATTN_BLK (default 256)
+    blk: int = 0,  # 0 -> QEFT_ATTN_BLK (default min(1024, s_max), fitted)
+    k_scale: jax.Array = None,  # [B, H_kv, S] per-vector scales (int8 cache)
+    v_scale: jax.Array = None,
 ) -> jax.Array:
+    """With ``k_scale``/``v_scale`` the caches hold int8 codes: the kernel
+    streams HALF the KV bytes and applies the scales as row multiplies on the
+    [rep, blk] score/probability tiles — K's scale folds into the score
+    columns, V's folds into the probability columns before the PV dot, so no
+    dequantized K/V tile is ever materialized."""
     b, h, d = q.shape
     _, hkv, s_max, _ = k_cache.shape
     n_rep = h // hkv
-    blk = min(blk or _default_blk(s_max), s_max)
+    quantized = k_scale is not None
+    # any requested block is fitted DOWN to a divisor of s_max: caches sized
+    # ctx+gen are rarely multiples of the tuned block (e.g. 1088 slots)
+    blk = _fit_blk(s_max, blk or _default_blk(s_max))
     assert s_max % blk == 0
     n_s = s_max // blk
     scale = d**-0.5
@@ -72,7 +91,11 @@ def decode_attention(
     vf = v_cache.reshape(b * hkv, s_max, d)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
 
-    def kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+    def kernel(pos_ref, q_ref, k_ref, v_ref, *rest):
+        if quantized:
+            ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+        else:
+            o_ref, m_ref, l_ref, acc_ref = rest
         s_idx = pl.program_id(1)
         p_now = pos_ref[0]
 
@@ -91,6 +114,8 @@ def decode_attention(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [rep, blk]
+            if quantized:
+                scores = scores * ks_ref[:]  # [1, blk] K scales fold in here
             valid = (
                 s_idx * blk
                 + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
@@ -102,6 +127,8 @@ def decode_attention(
             p = jnp.exp(scores - m_new)  # [rep, blk]
             alpha = jnp.exp(m_prev - m_new)
             l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            if quantized:
+                p = p * vs_ref[:]  # V scales fold into the prob columns
             pv = jnp.dot(p, vt, preferred_element_type=jnp.float32)  # [rep, D]
             acc_ref[:] = acc_ref[:] * alpha + pv
             m_ref[:] = m_new
@@ -115,14 +142,26 @@ def decode_attention(
         # pallas pipeline skips the DMA when the block index doesn't change
         return (bi, jnp.minimum(si, pos_ref[0] // blk), 0)
 
+    def clamp_idx2(bi, si, pos_ref):
+        return (bi, jnp.minimum(si, pos_ref[0] // blk))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, n_rep * d), lambda bi, si, pos_ref: (bi, 0, 0)),
+        pl.BlockSpec((1, blk, d), clamp_idx),
+        pl.BlockSpec((1, blk, d), clamp_idx),
+    ]
+    operands = [qf, kf, vf]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, blk), clamp_idx2)] * 2
+        operands += [
+            k_scale.reshape(b * hkv, s_max).astype(jnp.float32),
+            v_scale.reshape(b * hkv, s_max).astype(jnp.float32),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b * hkv, n_s),
-        in_specs=[
-            pl.BlockSpec((1, 1, n_rep * d), lambda bi, si, pos_ref: (bi, 0, 0)),
-            pl.BlockSpec((1, blk, d), clamp_idx),
-            pl.BlockSpec((1, blk, d), clamp_idx),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, n_rep * d), lambda bi, si, pos_ref: (bi, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((n_rep, 1), jnp.float32),
@@ -139,5 +178,5 @@ def decode_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(pos_arr, qf, kf, vf)
+    )(pos_arr, *operands)
     return out.reshape(b, h, d)

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from qeft_tpu.models.registry import ModelMeta
 
 # QLinearParams flattens to this field order (ops/packing.py tree_flatten)
-_QFIELDS = ("qweight", "scales", "scaled_zeros", "oweight", "bias")
+_QFIELDS = ("qweight", "scales", "scaled_zeros", "oweight", "bias", "reorder_ids")
 
 
 def make_mesh(shape=None, axis_names=("dp", "tp"), devices=None) -> Mesh:
@@ -65,6 +65,8 @@ def _linear_spec(field: str, shard_n: bool, stacked: bool) -> P:
         return P(*pre, None, "tp") if shard_n else P(*pre, None, None)
     if field == "oweight":
         return P(*pre, None, "tp")  # balanced rank-r GEMM either way
+    if field == "reorder_ids":
+        return P(*pre, None)  # per-linear input gather: replicate
     assert field == "bias", field
     return P(*pre, "tp") if shard_n else P(*pre, None)
 

@@ -86,9 +86,13 @@ class QuantizerState:
     sym: bool
     bits: int
     group_size: int
+    # full quantization permutation [IC], stored ONLY when it differs from the
+    # canonical outliers-last order (i.e. --act_order): the group params above
+    # are aligned to it, so packing must permute rows by it too
+    perm_ids: Optional[jax.Array] = None
 
     def tree_flatten(self):
-        return (self.scale_group, self.zero_group, self.out_ids), (
+        return (self.scale_group, self.zero_group, self.out_ids, self.perm_ids), (
             self.sym,
             self.bits,
             self.group_size,
@@ -96,7 +100,8 @@ class QuantizerState:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, sym=aux[0], bits=aux[1], group_size=aux[2])
+        return cls(*children[:3], sym=aux[0], bits=aux[1], group_size=aux[2],
+                   perm_ids=children[3])
 
 
 # ---------------------------------------------------------------------------
@@ -122,47 +127,49 @@ def _hessian_precision():
     return jax.lax.Precision.HIGHEST
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def block_hessians(blk, inps, cfg: LlamaConfig):
-    """Run one block over all calibration samples, accumulating the four
-    per-stage Hessian sums and the block outputs.
+_ALL_STAGES = ("qkv", "out", "ffn1", "ffn2")
+_STAGE_CAP = {"qkv": "qkv_in", "out": "o_in", "ffn1": "ffn1_in", "ffn2": "ffn2_in"}
+
+
+def _stage_widths(cfg, ffn: int):
+    d = cfg.hidden_size
+    return {"qkv": d, "out": cfg.num_heads * cfg.head_dim, "ffn1": d, "ffn2": ffn}
+
+
+@partial(jax.jit, static_argnames=("cfg", "stages"))
+def block_hessians(blk, inps, cfg: LlamaConfig, stages=_ALL_STAGES):
+    """Run one block over all calibration samples, accumulating the per-stage
+    Hessian sums and the block outputs.
 
     ``inps``: [n, S, D].  Returns (outs [n, S, D], {stage: H_sum}) where
     H_sum = sum over samples/tokens of x x^T (caller scales by 2/nsamples).
+    ``stages`` restricts which Hessians are built: the OGR extraction only
+    needs qkv/ffn1, and skipping ffn2's [F, F] sum (485 MB fp32 at 7B) keeps
+    the extract pass memory-lean on a shared chip.
     """
     n, s, d = inps.shape
     pos = jnp.arange(s)[None, :]
     cos, sin = rope_tables(cfg, pos)
     mask = _causal_mask(s)
 
-    hd = cfg.num_heads * cfg.head_dim
-    f = cfg.intermediate_size
+    widths = _stage_widths(cfg, cfg.intermediate_size)
     prec = _hessian_precision()
 
     def step(carry, x):
-        h_qkv, h_o, h_ffn1, h_ffn2 = carry
         out, _, cap = llama_block(blk, x[None], cfg, cos, sin, mask, capture=True)
 
         def acc(h, a):
             flat = a.reshape(-1, a.shape[-1]).astype(jnp.float32)
             return h + jnp.matmul(flat.T, flat, precision=prec)
 
-        carry = (
-            acc(h_qkv, cap["qkv_in"]),
-            acc(h_o, cap["o_in"]),
-            acc(h_ffn1, cap["ffn1_in"]),
-            acc(h_ffn2, cap["ffn2_in"]),
+        carry = tuple(
+            acc(h, cap[_STAGE_CAP[st]]) for h, st in zip(carry, stages)
         )
         return carry, out[0]
 
-    init = (
-        jnp.zeros((d, d), jnp.float32),
-        jnp.zeros((hd, hd), jnp.float32),
-        jnp.zeros((d, d), jnp.float32),
-        jnp.zeros((f, f), jnp.float32),
-    )
-    (h_qkv, h_o, h_ffn1, h_ffn2), outs = jax.lax.scan(step, init, inps)
-    return outs, {"qkv": h_qkv, "out": h_o, "ffn1": h_ffn1, "ffn2": h_ffn2}
+    init = tuple(jnp.zeros((widths[st], widths[st]), jnp.float32) for st in stages)
+    hs, outs = jax.lax.scan(step, init, inps)
+    return outs, dict(zip(stages, hs))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -193,34 +200,29 @@ def _opt_embed_tokens(embed, embed_pos, tokens, cfg):
     return jnp.take(embed, tokens, axis=0) + jnp.take(embed_pos, pos, axis=0)[None]
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def opt_block_hessians(blk, inps, cfg):
+@partial(jax.jit, static_argnames=("cfg", "stages"))
+def opt_block_hessians(blk, inps, cfg, stages=_ALL_STAGES):
     from qeft_tpu.models.opt import opt_block
 
     n, s, d = inps.shape
     mask = _causal_mask(s)
-    hd = cfg.num_heads * cfg.head_dim
-    f = cfg.ffn_dim
+    widths = _stage_widths(cfg, cfg.ffn_dim)
+    prec = _hessian_precision()
 
     def step(carry, x):
-        h_qkv, h_o, h_ffn1, h_ffn2 = carry
         out, _, cap = opt_block(blk, x[None], cfg, mask, capture=True)
 
         def acc(h, a):
             flat = a.reshape(-1, a.shape[-1]).astype(jnp.float32)
-            return h + jnp.matmul(flat.T, flat, precision=_hessian_precision())
+            return h + jnp.matmul(flat.T, flat, precision=prec)
 
-        return (
-            acc(h_qkv, cap["qkv_in"]), acc(h_o, cap["o_in"]),
-            acc(h_ffn1, cap["ffn1_in"]), acc(h_ffn2, cap["ffn2_in"]),
+        return tuple(
+            acc(h, cap[_STAGE_CAP[st]]) for h, st in zip(carry, stages)
         ), out[0]
 
-    init = (
-        jnp.zeros((d, d), jnp.float32), jnp.zeros((hd, hd), jnp.float32),
-        jnp.zeros((d, d), jnp.float32), jnp.zeros((f, f), jnp.float32),
-    )
-    (h_qkv, h_o, h_ffn1, h_ffn2), outs = jax.lax.scan(step, init, inps)
-    return outs, {"qkv": h_qkv, "out": h_o, "ffn1": h_ffn1, "ffn2": h_ffn2}
+    init = tuple(jnp.zeros((widths[st], widths[st]), jnp.float32) for st in stages)
+    hs, outs = jax.lax.scan(step, init, inps)
+    return outs, dict(zip(stages, hs))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -245,32 +247,27 @@ def _generic_block_ops(block_fwd, ffn_of):
     ``ffn_of(cfg)`` names the ffn2-stage input width (intermediate/ffn dim).
     """
 
-    @partial(jax.jit, static_argnames=("cfg",))
-    def hess_fn(blk, inps, cfg):
-        n, s, d = inps.shape
-        hd = cfg.num_heads * cfg.head_dim
-        f = ffn_of(cfg)
+    @partial(jax.jit, static_argnames=("cfg", "stages"))
+    def hess_fn(blk, inps, cfg, stages=_ALL_STAGES):
+        widths = _stage_widths(cfg, ffn_of(cfg))
         prec = _hessian_precision()
 
         def step(carry, x):
-            h_qkv, h_o, h_ffn1, h_ffn2 = carry
             out, cap = block_fwd(blk, x[None], cfg, capture=True)
 
             def acc(h, a):
                 flat = a.reshape(-1, a.shape[-1]).astype(jnp.float32)
                 return h + jnp.matmul(flat.T, flat, precision=prec)
 
-            return (
-                acc(h_qkv, cap["qkv_in"]), acc(h_o, cap["o_in"]),
-                acc(h_ffn1, cap["ffn1_in"]), acc(h_ffn2, cap["ffn2_in"]),
+            return tuple(
+                acc(h, cap[_STAGE_CAP[st]]) for h, st in zip(carry, stages)
             ), out[0]
 
-        init = (
-            jnp.zeros((d, d), jnp.float32), jnp.zeros((hd, hd), jnp.float32),
-            jnp.zeros((d, d), jnp.float32), jnp.zeros((f, f), jnp.float32),
+        init = tuple(
+            jnp.zeros((widths[st], widths[st]), jnp.float32) for st in stages
         )
-        (h_qkv, h_o, h_ffn1, h_ffn2), outs = jax.lax.scan(step, init, inps)
-        return outs, {"qkv": h_qkv, "out": h_o, "ffn1": h_ffn1, "ffn2": h_ffn2}
+        hs, outs = jax.lax.scan(step, init, inps)
+        return outs, dict(zip(stages, hs))
 
     @partial(jax.jit, static_argnames=("cfg",))
     def fwd_fn(blk, inps, cfg):
@@ -424,7 +421,9 @@ def extract_global_outidx(
     dev = jax.devices()[0] if jax.default_backend() != "cpu" else None
     for i in range(n_layers):
         blk = _block_at(params["layers"], i, dev)
-        outs, h_sums = hess_fn(blk, inps, cfg)
+        # extraction only scores the residual-stream stages — skipping the
+        # out/ffn2 Hessians halves the pass's device footprint at 7B
+        outs, h_sums = hess_fn(blk, inps, cfg, stages=("qkv", "ffn1"))
         for stage, names in (("qkv", meta.qkv), ("ffn1", meta.ffn1)):
             h_diag_base = jnp.diagonal(h_sums[stage]) * (2.0 / args.nsamples)
             for name in names:
@@ -437,6 +436,7 @@ def extract_global_outidx(
                 per_layer_out_ids[(i, name)] = np.asarray(out_ids)
                 sensitivity = sensitivity + h_diag / jnp.mean(h_diag)
         inps = outs
+        print(f"extract: block {i + 1}/{n_layers}", flush=True)
 
     _, top = jax.lax.top_k(sensitivity, target_rank)
     outidx = np.sort(np.asarray(top))
@@ -529,6 +529,7 @@ def quantize_model(
                 new_blocks[k][i] = np.asarray(v)
             for name in meta.all_linears:  # move this block's states host-side
                 quantizers[(i, name)] = _to_host(quantizers[(i, name)])
+            print(f"quantize: block {i + 1}/{cfg.num_layers}", flush=True)
         else:
             new_blocks.append(new_blk)
 
@@ -582,6 +583,11 @@ def _quantize_one(
         sym=spec.sym,
         bits=spec.bits,
         group_size=spec.group_size,
+        # under --act_order the group params are aligned to the sensitivity
+        # permutation, not the canonical outliers-last order — packing must
+        # permute rows by the same ids (reference has the same latent
+        # mismatch: recon.py:82-89 self.ids vs reorder.py:6-12 layout)
+        perm_ids=ids.astype(jnp.int32) if args.act_order else None,
     )
 
 
@@ -802,6 +808,10 @@ def _fuse_stage(nb: Dict, names, fused_name: str):
     import dataclasses as _dc
 
     lins = [nb.pop(n) for n in names]
+    assert all(l.reorder_ids is None for l in lins), (
+        "stage fusion requires a statically reordered model (shared input "
+        "permutation); per-linear input gathers cannot be fused"
+    )
     nb[fused_name] = _dc.replace(
         lins[0],
         qweight=jnp.concatenate([l.qweight for l in lins], axis=1),
@@ -865,7 +875,19 @@ def pack_model(
             k_in = w_kn.shape[0]
             group = st.group_size if st.group_size > 0 else k_in
             reorder_ids = None
-            if not reordered and int(st.out_ids.shape[0]) > 0:
+            if st.perm_ids is not None:
+                if reordered:
+                    raise ValueError(
+                        "--act_order quantization cannot be packed with the "
+                        "static global reorder: group params follow the "
+                        "per-layer sensitivity permutation, not the shared "
+                        "residual-stream layout. Pack without --reorder (per-"
+                        "layer input gathers) or quantize without --act_order."
+                    )
+                # group params are aligned to the act-order permutation
+                reorder_ids = jnp.asarray(st.perm_ids, dtype=jnp.int32)
+                w_kn = jnp.take(w_kn, reorder_ids, axis=0)
+            elif not reordered and int(st.out_ids.shape[0]) > 0:
                 # permute rows into the sorted (outliers-last) layout the
                 # quantizer states describe; runtime gathers the input to match
                 reorder_ids = sparse_to_dense_ids(

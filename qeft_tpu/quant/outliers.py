@@ -53,13 +53,15 @@ def hessian_sort_ids(
     else:
         out_ids = jnp.sort(outidx).astype(jnp.int32)
 
-    mask = jnp.ones((ic,), dtype=bool).at[out_ids].set(False)
     if actorder:
         # dense columns in descending-sensitivity order, outliers last
+        mask = jnp.ones((ic,), dtype=bool).at[out_ids].set(False)
         keep = jnp.argsort(-jnp.where(mask, sens, -jnp.inf))[: ic - out_ids.shape[0]]
         ids = jnp.concatenate([keep, out_ids])
     else:
-        ids = jnp.concatenate([jnp.arange(ic)[mask], out_ids])
+        from qeft_tpu.quant.reorder import sparse_to_dense_ids
+
+        ids = sparse_to_dense_ids(out_ids, ic)
     return ids, out_ids
 
 

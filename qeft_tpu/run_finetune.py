@@ -85,6 +85,10 @@ def main(argv=None):
         return
 
     params, cfg, family = load_packed(args.load)
+    assert family in ("llama", "gemma"), (
+        f"WCT fine-tuning drives the llama-family training forward; got "
+        f"family={family!r} from the checkpoint manifest"
+    )
     meta = get_model_meta(family)
     oweights, frozen = split_wct(params, meta)
 

@@ -45,16 +45,18 @@ def _prefill_into_slot(params, prompt, cache, slot, cfg: LlamaConfig):
     cache is DONATED, so XLA aliases the buffers and the admission cost is
     the slot write — independent of L x B x S (VERDICT round-1 weak #5
     replaced a whole-cache `.at[].set` rebuild per admission)."""
+    # generic over the cache leaves (batch is axis 1 of every leaf), so
+    # quantized caches (k_scale/v_scale planes) serve unchanged
     slot_cache = {
-        "k": jax.lax.dynamic_slice_in_dim(cache["k"], slot, 1, axis=1),
-        "v": jax.lax.dynamic_slice_in_dim(cache["v"], slot, 1, axis=1),
+        name: jax.lax.dynamic_slice_in_dim(leaf, slot, 1, axis=1)
+        for name, leaf in cache.items()
     }
     logits, new_slot = llama_forward_window(
         params, prompt, slot_cache, jnp.int32(0), cfg
     )
     cache = {
-        "k": jax.lax.dynamic_update_slice_in_dim(cache["k"], new_slot["k"], slot, axis=1),
-        "v": jax.lax.dynamic_update_slice_in_dim(cache["v"], new_slot["v"], slot, axis=1),
+        name: jax.lax.dynamic_update_slice_in_dim(leaf, new_slot[name], slot, axis=1)
+        for name, leaf in cache.items()
     }
     return logits[:, -1, :], cache
 

@@ -47,3 +47,21 @@ def test_fake_vs_packed_ppl_equality():
     ppl_fake = eval_ppl(qparams, test, CFG, seqlen=64, max_windows=3)
     ppl_packed = eval_ppl(packed, test, CFG, seqlen=64, max_windows=3)
     assert abs(ppl_fake - ppl_packed) / ppl_fake < 1e-3, (ppl_fake, ppl_packed)
+
+
+def test_streamed_eval_matches_jitted_eval():
+    """Layer-streaming eval (for models bigger than HBM) must agree with the
+    whole-model jitted harness."""
+    import jax
+
+    from qeft_tpu.eval import eval_ppl, eval_ppl_streamed
+    from qeft_tpu.models import LLAMA_PRESETS, init_params
+    from qeft_tpu.models.registry import get_model_meta
+
+    cfg = LLAMA_PRESETS["tiny"]
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    test = rng.integers(0, cfg.vocab_size, size=(4 * 64,))
+    a = eval_ppl(params, test, cfg, seqlen=64)
+    b = eval_ppl_streamed(params, test, cfg, get_model_meta("llama"), seqlen=64)
+    np.testing.assert_allclose(b, a, rtol=1e-4)

@@ -75,3 +75,38 @@ def test_gemma_variant_forward_and_decode():
             params, tokens[:, i : i + 1], cache, jnp.int32(i), cfg
         )
         np.testing.assert_allclose(np.asarray(logits_d), full[:, i], rtol=2e-3, atol=2e-3)
+
+
+def test_int8_kv_cache_decode_close_to_full_forward():
+    """Quantized (int8 + per-vector scale) KV cache: incremental decode must
+    track the full bf16-path forward within int8 rounding error.  Capability
+    beyond the reference (its FT cache is fp16-only, ftllama_modeling.py:60-67);
+    halves KV bytes streamed per decode step."""
+    from qeft_tpu.models.llama import cache_quantized, llama_decode_step_ragged
+
+    cfg = LLAMA_PRESETS["tiny"]
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 10)))
+
+    full = np.asarray(llama_forward(params, tokens, cfg))
+
+    cache = init_kv_cache(cfg, batch=2, max_len=16, quantized=True)
+    assert cache_quantized(cache) and cache["k"].dtype == jnp.int8
+    logits_p, cache = llama_prefill(params, tokens[:, :6], cache, cfg)
+    # int8 KV rounding perturbs logits slightly: check closeness + top-1 match
+    np.testing.assert_allclose(np.asarray(logits_p), full[:, :6], rtol=0.05, atol=0.05)
+    for i in range(6, 10):
+        logits_d, cache = llama_decode_step(
+            params, tokens[:, i : i + 1], cache, jnp.int32(i), cfg
+        )
+        np.testing.assert_allclose(np.asarray(logits_d), full[:, i], rtol=0.05, atol=0.05)
+        assert (np.argmax(np.asarray(logits_d), -1) == np.argmax(full[:, i], -1)).all()
+
+    # ragged (serving) path with per-sequence positions and int8 cache
+    cache2 = init_kv_cache(cfg, batch=2, max_len=16, quantized=True)
+    _, cache2 = llama_prefill(params, tokens[:, :6], cache2, cfg)
+    logits_r, _ = llama_decode_step_ragged(
+        params, tokens[:, 6:7], cache2, jnp.asarray([6, 6], jnp.int32), cfg
+    )
+    np.testing.assert_allclose(np.asarray(logits_r), full[:, 6], rtol=0.05, atol=0.05)

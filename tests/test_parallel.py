@@ -78,3 +78,27 @@ def test_sharded_generation():
     with jax.set_mesh(mesh):
         out, _ = generate(sharded, prompt, cache_sh, CFG, 5, SampleConfig())
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_param_shardings_with_runtime_reorder_ids():
+    """Packed linears carrying a per-linear input gather (per-layer-outlier
+    packs: act-order, bloom/falcon without OGR) must shard — reorder_ids
+    rides the QLinearParams pytree as a 6th leaf (round-2 review)."""
+    import dataclasses
+
+    from qeft_tpu.models.registry import get_model_meta
+    from qeft_tpu.parallel import make_mesh, param_shardings
+    from qeft_tpu.testing import build_packed_model
+    from qeft_tpu.models import LLAMA_PRESETS
+
+    cfg = LLAMA_PRESETS["tiny"]
+    params = build_packed_model(cfg, jax.random.PRNGKey(0))
+    k_in = cfg.hidden_size
+    params["layers"]["q"] = dataclasses.replace(
+        params["layers"]["q"],
+        reorder_ids=jnp.tile(jnp.arange(k_in, dtype=jnp.int32), (cfg.num_layers, 1)),
+    )
+    mesh = make_mesh((1, 8))
+    shardings = param_shardings(params, mesh, get_model_meta("llama"))
+    spec = shardings["layers"]["q"].reorder_ids.spec
+    assert all(axis is None for axis in spec), spec

@@ -235,3 +235,31 @@ def test_host_reorder_matches_jnp_reorder():
             np.asarray(qb[key].scale_group), np.asarray(qa[key].scale_group),
             rtol=1e-6, err_msg=str(key),
         )
+
+
+def test_act_order_per_layer_fake_vs_packed_parity():
+    """--act_order aligns group params to the sensitivity permutation; packing
+    must permute rows by the SAME ids (stored as QuantizerState.perm_ids) and
+    gather the input at runtime, or the packed model is silently corrupted
+    (round-2 review finding)."""
+    params, calib = setup()
+    args = make_args(reorder=False, act_order=True)
+    qparams, quantizers = quantize_model(params, calib, CFG, META, args, None)
+    assert all(st.perm_ids is not None for st in quantizers.values())
+    packed = pack_model(qparams, quantizers, CFG, META, dtype=jnp.float32)
+
+    tokens = jnp.asarray(calib[:2])
+    logits_fake = np.asarray(llama_forward(qparams, tokens, CFG))
+    logits_packed = np.asarray(llama_forward(packed, tokens, CFG))
+    np.testing.assert_allclose(logits_packed, logits_fake, rtol=5e-3, atol=5e-3)
+
+
+def test_act_order_with_global_reorder_pack_rejected():
+    """The static global reorder assumes the canonical outliers-last layout;
+    act-order group params cannot ride it — packing must refuse loudly."""
+    params, calib = setup()
+    args = make_args(reorder=True, act_order=True)
+    outidx, _ = extract_global_outidx(params, calib, CFG, META, args)
+    qparams, quantizers = quantize_model(params, calib, CFG, META, args, outidx)
+    with pytest.raises(ValueError, match="act_order"):
+        pack_model(qparams, quantizers, CFG, META, dtype=jnp.float32)

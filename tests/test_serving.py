@@ -98,3 +98,24 @@ def test_engine_caps_at_cache_capacity():
     assert len(finished) == 1
     # prompt fills 4 slots; decode can extend only to the cache edge
     assert len(finished[0].output) <= 8 - 4 + 1
+
+
+def test_engine_with_int8_kv_cache(monkeypatch):
+    """QEFT_KV_DTYPE=int8 flows through admission (slot ops are generic over
+    the cache leaves incl. scale planes) and ragged decode; engine output ==
+    single-sequence decode under the same cache quantization."""
+    monkeypatch.setenv("QEFT_KV_DTYPE", "int8")
+    params = init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, CFG.vocab_size, size=n) for n in (4, 6, 3)]
+
+    engine = Engine(params, CFG, max_batch=2, max_len=32, cache_dtype=jnp.float32)
+    for i, p in enumerate(prompts):
+        engine.submit(Request(request_id=i, prompt=p, max_new_tokens=4))
+    finished = engine.run()
+    by_id = {r.request_id: r for r in finished}
+    for i, p in enumerate(prompts):
+        cache = init_kv_cache(CFG, 1, 32, quantized=True)
+        assert "k_scale" in cache
+        ref, _ = generate(params, jnp.asarray(p[None, :]), cache, CFG, 4, SampleConfig())
+        assert by_id[i].output == np.asarray(ref)[0].tolist(), i
