@@ -61,6 +61,74 @@ def resolve_dtype(name):
             "float16": jnp.float16}[name]
 
 
+def _fast_host_init(init, cfg, dtype):
+    """Shape-faithful random host params WITHOUT running the jax initializer.
+
+    JAX's host-CPU PRNG takes tens of minutes at 7B scale (measured: a
+    threefry/rbg 6.7B-value init never finished inside 45 min on this box),
+    numpy's ziggurat standard_normal is ~7 min for 6.7B values, and
+    ml_dtypes' float32->bfloat16 astype collapses to ~4.5M elem/s on
+    multi-GB arrays (317 s for one 1.4B leaf).  Instead: draw ONE 16M-value
+    normal pool (~1 s), pre-scale + pre-convert it once per distinct leaf
+    scale (bfloat16 via round-to-nearest-even bit twiddling), then tile the
+    converted pool into each leaf at memcpy speed (pool length is odd, so
+    rows of power-of-two width de-align on each wrap).  `jax.eval_shape`
+    supplies the exact tree structure/shapes/dtypes from the family's own
+    init_params; leaves are filled by role: norm scales -> 1, biases -> 0,
+    matrices -> N(0, K^-1/2) in the [K, N] layout, embeddings -> N(0, 0.02).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    spec = jax.eval_shape(
+        lambda: init(cfg, jax.random.key(0, impl="rbg"), dtype=dtype)
+    )
+    rng = np.random.default_rng(0)
+    pool = rng.standard_normal((1 << 24) + 1, np.float32)
+    scaled_pools = {}
+    state = {"off": 0}
+
+    def np_bf16(x32):
+        # float32 -> bfloat16 with round-to-nearest-even (bit-exact vs
+        # ml_dtypes astype, which is pathologically slow on huge arrays)
+        u = np.ascontiguousarray(x32).view(np.uint32)
+        r = (u + np.uint32(0x7FFF) + ((u >> np.uint32(16)) & np.uint32(1)))
+        return (r >> np.uint32(16)).astype(np.uint16).view(jnp.bfloat16)
+
+    def scaled_pool(scale, dt):
+        key = (float(scale), np.dtype(dt).name)
+        if key not in scaled_pools:
+            p = pool * np.float32(scale)
+            scaled_pools[key] = np_bf16(p) if dt == jnp.bfloat16 \
+                else p.astype(dt)
+        return scaled_pools[key]
+
+    def draw(p, n):
+        # cycle the pool starting at a rolling offset (memcpy-speed)
+        off = state["off"]
+        state["off"] = (off + n) % p.size
+        return np.resize(np.roll(p, -off), n)
+
+    def fill(path, sd):
+        name = jax.tree_util.keystr(path)
+        shape = sd.shape
+        dt = np.dtype(sd.dtype) if sd.dtype != jnp.bfloat16 else jnp.bfloat16
+        if "ln" in name and not name.rstrip("']").endswith("_b"):
+            return np.ones(shape, np.float32).astype(dt)
+        if name.rstrip("']").endswith("_b") or "bias" in name:
+            return np.zeros(shape, np.float32).astype(dt)
+        if "embed" in name:
+            scale = 0.02
+        elif len(shape) >= 2:
+            scale = float(shape[-2]) ** -0.5
+        else:
+            scale = 1.0
+        return draw(scaled_pool(scale, dt), int(np.prod(shape))).reshape(shape)
+
+    return jax.tree_util.tree_map_with_path(fill, spec)
+
+
 def load_model_and_meta(model: str, dtype=None):
     """Preset name -> random init; dir with config.json -> HF safetensors."""
     import jax
@@ -88,10 +156,7 @@ def load_model_and_meta(model: str, dtype=None):
     for fam, table, init in preset_tables:
         if model in table:
             cfg = table[model]
-            with jax.default_device(host):
-                # rbg keys: threefry on host CPU takes minutes at 7B scale
-                params = init(cfg, jax.random.key(0, impl="rbg"),
-                              dtype=dtype or jnp.float32)
+            params = _fast_host_init(init, cfg, dtype or jnp.float32)
             meta = get_model_meta("gemma" if "gemma" in model else fam)
             return params, cfg, meta
     if os.path.isdir(model):

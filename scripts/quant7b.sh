@@ -15,6 +15,12 @@ cd /root/repo
 CKPT=${CKPT:-/root/repo/ckpt}
 mkdir -p "$CKPT"
 
+# This VM services transparent-hugepage faults at ~25 ms per 2 MB page
+# (~7 MB/s; measured 2026-08-17), which turns every large host allocation
+# numpy madvises into a multi-minute stall.  Disable THP for the pipeline.
+echo never > /sys/kernel/mm/transparent_hugepage/enabled 2>/dev/null || true
+export NUMPY_MADVISE_HUGEPAGE=0
+
 echo "=== [1/3] extract global outlier index (OGR step 1) ==="
 python -m qeft_tpu.extract_outidx llama2-7b synthetic \
     --wbits 4 --target_rank 128 --groupsize 128 --no_frob_norm \
