@@ -14,8 +14,15 @@ The roofline is computed TWICE (VERDICT round-1 weak #1):
 chip's physically achievable decode rate the kernel delivers; the spec
 fraction rides along as `vs_spec_roofline`.
 
-Knobs: QEFT_BENCH_MAXLEN (KV slots, default 512), QEFT_BENCH_BATCH (default
-1), QEFT_QUANT_LMHEAD=1 packs the lm_head to int4 (cuts ~6% of bytes/token).
+The packed model comes from the REAL on-device quantization pipeline when its
+checkpoint exists (scripts/quant7b.sh -> ckpt/llama2_7b_w4g128r128_packed,
+exercising load_packed + stage fusion on a GPTQ-OWQ reconstruction; the
+reference's load->benchmark path, main.py:510,310-371), else from the
+shape-faithful random builder.
+
+Knobs: QEFT_BENCH_CKPT (packed ckpt path), QEFT_BENCH_MAXLEN (KV slots,
+default 512), QEFT_BENCH_BATCH (default 1), QEFT_QUANT_LMHEAD=1 packs the
+lm_head to int4 (cuts ~6% of bytes/token).
 
 Prints exactly one JSON line.
 """
@@ -86,11 +93,30 @@ def streamed_bytes_per_token(params) -> int:
     return total
 
 
-def main():
-    cfg = LLAMA_PRESETS["llama2-7b"]
+CKPT = os.environ.get(
+    "QEFT_BENCH_CKPT", "/root/repo/ckpt/llama2_7b_w4g128r128_packed"
+)
+
+
+def load_or_build():
+    """Real pipeline checkpoint when present, else the random builder."""
     key = jax.random.PRNGKey(0)
-    # stage-fused packed layers (qkv / upgate): fewer, larger kernel calls
-    params = build_packed_model(cfg, key, fuse_stages=True)
+    if os.path.exists(CKPT + ".json"):
+        from qeft_tpu.checkpoint import load_packed
+        from qeft_tpu.models.registry import get_model_meta
+        from qeft_tpu.pipeline import fuse_packed_stages
+
+        params, cfg, family = load_packed(CKPT)
+        # fused qkv/upgate: fewer, larger kernel calls (+3 tok/s, BASELINE.md)
+        params = fuse_packed_stages(params, get_model_meta(family))
+        return params, cfg, True
+    cfg = LLAMA_PRESETS["llama2-7b"]
+    return build_packed_model(cfg, key, fuse_stages=True), cfg, False
+
+
+def main():
+    params, cfg, real_ckpt = load_or_build()
+    key = jax.random.PRNGKey(0)
     if QUANT_LMHEAD:
         from qeft_tpu.pipeline import rtn_pack_linear
 
@@ -140,6 +166,8 @@ def main():
         out["seq_tokens_per_s"] = round(toks_per_s * BATCH, 2)
     if QUANT_LMHEAD:
         out["quant_lmhead"] = True
+    if real_ckpt:
+        out["real_pipeline_ckpt"] = True
     if os.environ.get("QEFT_KV_DTYPE", "").lower() == "int8":
         out["kv_int8"] = True
     print(json.dumps(out))

@@ -804,7 +804,11 @@ def rtn_pack_linear(
 
 def _fuse_stage(nb: Dict, names, fused_name: str):
     """Concatenate same-stage packed linears along N (valid under OGR: all
-    stage members share the input permutation and group layout)."""
+    stage members share the input permutation and group layout).
+
+    Every QLinearParams field carries N on its LAST axis (bias [N] included),
+    so axis=-1 fuses both per-block and [L, ...]-stacked layouts.
+    """
     import dataclasses as _dc
 
     lins = [nb.pop(n) for n in names]
@@ -814,20 +818,34 @@ def _fuse_stage(nb: Dict, names, fused_name: str):
     )
     nb[fused_name] = _dc.replace(
         lins[0],
-        qweight=jnp.concatenate([l.qweight for l in lins], axis=1),
-        scales=jnp.concatenate([l.scales for l in lins], axis=1),
-        scaled_zeros=jnp.concatenate([l.scaled_zeros for l in lins], axis=1),
+        qweight=jnp.concatenate([l.qweight for l in lins], axis=-1),
+        scales=jnp.concatenate([l.scales for l in lins], axis=-1),
+        scaled_zeros=jnp.concatenate([l.scaled_zeros for l in lins], axis=-1),
         oweight=(
-            jnp.concatenate([l.oweight for l in lins], axis=1)
+            jnp.concatenate([l.oweight for l in lins], axis=-1)
             if lins[0].oweight is not None
             else None
         ),
         bias=(
-            jnp.concatenate([l.bias for l in lins], axis=0)
+            jnp.concatenate([l.bias for l in lins], axis=-1)
             if lins[0].bias is not None
             else None
         ),
     )
+
+
+def fuse_packed_stages(params: Dict, meta: ModelMeta) -> Dict:
+    """Post-pack stage fusion on a loaded (stacked) packed model: q/k/v ->
+    'qkv', up/gate -> 'upgate'.  Same math as pack_model(fuse_stages=True);
+    lets a checkpoint saved unfused serve through the fused fast path."""
+    layers = dict(params["layers"])
+    if meta.family == "llama" and len(meta.qkv) == 3 and all(
+        n in layers for n in meta.qkv
+    ):
+        _fuse_stage(layers, meta.qkv, "qkv")
+    if len(meta.ffn1) == 2 and all(n in layers for n in meta.ffn1):
+        _fuse_stage(layers, meta.ffn1, "upgate")
+    return {**params, "layers": layers}
 
 
 def pack_model(

@@ -150,6 +150,18 @@ def test_fused_stage_packing_matches_unfused():
     b = np.asarray(llama_forward(fused, tokens, CFG))
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
 
+    # post-pack fusion of the stacked layout (bench.py's load path) must
+    # match pack-time fusion exactly
+    from qeft_tpu.pipeline import fuse_packed_stages
+
+    refused = fuse_packed_stages(packed, META)
+    assert "qkv" in refused["layers"] and "q" not in refused["layers"]
+    for k, v in refused["layers"].items():
+        jax.tree.map(
+            lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+            v, fused["layers"][k],
+        )
+
 
 def test_true_sequential_runs_and_is_close():
     params, calib = setup()
