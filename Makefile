@@ -34,6 +34,15 @@ verify-cli:
 	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.main \
 	    opt-tiny synthetic --load /tmp/qeft_verify/ckpt_opt_packed --eval \
 	    --eval_windows 2 --seqlen 32 --benchmark 8
+	# falcon: per-layer outlier path (no global reorder — parallel-residual
+	# block; reference quantizes falcon with percdamp=1.0, misc.py:132-136)
+	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.main \
+	    falcon-tiny synthetic --wbits 4 --target_rank 8 --groupsize 64 \
+	    --no_frob_norm --nsamples 2 --seqlen 32 \
+	    --packing --save /tmp/qeft_verify/ckpt_falcon --eval --eval_windows 2
+	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.main \
+	    falcon-tiny synthetic --load /tmp/qeft_verify/ckpt_falcon_packed --eval \
+	    --eval_windows 2 --seqlen 32 --benchmark 8
 
 clean:
 	rm -rf .pytest_cache __pycache__ native/libqeft_host.so

@@ -4,7 +4,7 @@ TPU-native replacement for the reference's monkeypatched HF generation
 (/root/reference/qeft/monkeypatch/ftllama_generate.py:181-355): the whole
 token-by-token loop runs inside one jit (`lax.fori_loop`), so host<->device
 round-trips happen once per sequence instead of once per token.  Greedy and
-temperature/top-k sampling supported.
+temperature/top-k/top-p (nucleus) sampling supported.
 """
 
 from __future__ import annotations
@@ -25,6 +25,7 @@ class SampleConfig:
     greedy: bool = True
     temperature: float = 1.0
     top_k: int = 0  # 0 = no top-k
+    top_p: float = 1.0  # 1.0 = no nucleus filtering
 
 
 def _sample_token(logits: jax.Array, key: jax.Array, sc: SampleConfig) -> jax.Array:
@@ -34,6 +35,17 @@ def _sample_token(logits: jax.Array, key: jax.Array, sc: SampleConfig) -> jax.Ar
     if sc.top_k > 0:
         kth = jnp.sort(logits, axis=-1)[..., -sc.top_k][..., None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if sc.top_p < 1.0:
+        # nucleus: keep the smallest descending-prob prefix with mass > top_p
+        # (HF TopPLogitsWarper semantics: the first token crossing the
+        # threshold is kept)
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = cum - probs < sc.top_p  # mass BEFORE this token is < top_p
+        n_keep = jnp.maximum(keep.sum(axis=-1, keepdims=True), 1)
+        cutoff = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 

@@ -32,3 +32,35 @@ def test_sampling_runs():
     out = np.asarray(generate_simple(params, prompt, CFG, max_new_tokens=4, sc=sc))
     assert out.shape == (2, 4)
     assert (out >= 0).all() and (out < CFG.vocab_size).all()
+
+
+def test_top_p_nucleus_support_and_distribution():
+    """top_p keeps exactly the smallest descending-prob prefix with mass
+    > top_p (HF TopPLogitsWarper semantics) and renormalizes within it."""
+    from qeft_tpu.generate import _sample_token
+
+    probs = np.array([0.45, 0.30, 0.15, 0.07, 0.03], np.float32)
+    logits = jnp.asarray(np.log(probs))[None, :]  # batch of 1
+    sc = SampleConfig(greedy=False, temperature=1.0, top_p=0.8)
+
+    draws = jax.vmap(
+        lambda k: _sample_token(logits, k, sc)[0]
+    )(jax.random.split(jax.random.PRNGKey(0), 4000))
+    draws = np.asarray(draws)
+
+    # nucleus = {0, 1, 2}: 0.45+0.30=0.75 < 0.8, so token 2 is the first to
+    # cross and is kept; 3 and 4 must never appear
+    assert set(np.unique(draws)) <= {0, 1, 2}
+    counts = np.bincount(draws, minlength=5) / draws.size
+    renorm = probs[:3] / probs[:3].sum()
+    np.testing.assert_allclose(counts[:3], renorm, atol=0.03)
+
+
+def test_top_p_one_is_identity():
+    from qeft_tpu.generate import _sample_token
+
+    logits = jnp.asarray(np.random.default_rng(0).standard_normal((2, 17)), jnp.float32)
+    k = jax.random.PRNGKey(3)
+    a = _sample_token(logits, k, SampleConfig(greedy=False, top_p=1.0))
+    b = _sample_token(logits, k, SampleConfig(greedy=False))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
