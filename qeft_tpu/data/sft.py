@@ -107,6 +107,18 @@ def load_sft_examples(
         d = hfd.load_dataset("timdettmers/openassistant-guanaco", split="train")
         for ex in d if n is None else d.select(range(n)):
             out.append(SFTExample(enc("", bos=True), enc(ex["text"])))
+    elif dataset in ("wikitext", "wikitext2"):
+        # block-packed LM fine-tuning (reference finetune.py:792-898): fixed
+        # seqlen blocks of the train stream, every token supervised (empty
+        # prompt -> no masking)
+        from qeft_tpu.data.loaders import get_loaders
+
+        crops = get_loaders(
+            "wikitext2", nsamples=n or 256, seed=seed, seqlen=512,
+            model=tokenizer_path, vocab_size=vocab_size, train=True,
+        )
+        for row in np.asarray(crops):
+            out.append(SFTExample(np.empty((0,), np.int64), row.astype(np.int64)))
     else:
         raise ValueError(f"unknown SFT dataset {dataset}")
     return out

@@ -118,3 +118,28 @@ def test_grad_accum_matches_larger_batch():
         np.testing.assert_allclose(
             np.asarray(ow_acc[name]), np.asarray(ow_full[name]), rtol=2e-4, atol=2e-6
         )
+
+
+def test_wikitext_sft_blocks_fully_supervised(monkeypatch):
+    """wikitext SFT = block-packed LM (ref finetune.py:792-898): empty prompt,
+    every token of the block supervised."""
+    import qeft_tpu.data.loaders as loaders_mod
+    from qeft_tpu.data.sft import load_sft_examples, mask_and_pad
+
+    fake = np.arange(24, dtype=np.int64).reshape(2, 12) % 7 + 1
+
+    monkeypatch.setattr(
+        loaders_mod, "get_loaders",
+        lambda name, nsamples, seed, seqlen, model, vocab_size, train: fake,
+    )
+    # tokenizer_path is only consulted by AutoTokenizer for non-synthetic
+    # datasets; stub that out too
+    import qeft_tpu.data.sft as sft_mod
+    monkeypatch.setattr(
+        "transformers.AutoTokenizer.from_pretrained", lambda *a, **k: None
+    )
+    exs = load_sft_examples("wikitext", "unused", 2, vocab_size=32)
+    assert len(exs) == 2 and exs[0].prompt_ids.size == 0
+    input_ids, labels = mask_and_pad(exs, max_len=12, pad_id=0, train_on_prompt=False)
+    np.testing.assert_array_equal(input_ids, fake)
+    np.testing.assert_array_equal(labels, fake)  # nothing masked
