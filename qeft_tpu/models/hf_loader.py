@@ -119,11 +119,7 @@ def load_hf_llama(path: str, dtype=jnp.bfloat16) -> Tuple[Dict, LlamaConfig]:
 def opt_config_from_hf(path: str) -> OPTConfig:
     with open(os.path.join(path, "config.json")) as f:
         hc = json.load(f)
-    if hc.get("word_embed_proj_dim", hc["hidden_size"]) != hc["hidden_size"]:
-        raise NotImplementedError(
-            "OPT with word_embed_proj_dim != hidden_size (opt-350m) needs the "
-            "project_in/out layers; not supported"
-        )
+    wepd = hc.get("word_embed_proj_dim", hc["hidden_size"])
     return OPTConfig(
         vocab_size=hc["vocab_size"],
         hidden_size=hc["hidden_size"],
@@ -132,6 +128,7 @@ def opt_config_from_hf(path: str) -> OPTConfig:
         num_heads=hc["num_attention_heads"],
         max_position_embeddings=hc.get("max_position_embeddings", 2048),
         do_layer_norm_before=hc.get("do_layer_norm_before", True),
+        word_embed_proj_dim=None if wepd == hc["hidden_size"] else wepd,
     )
 
 
@@ -172,9 +169,19 @@ def load_hf_opt(path: str, dtype=jnp.bfloat16) -> Tuple[Dict, OPTConfig]:
         "embed": arr("model.decoder.embed_tokens.weight"),
         "embed_pos": arr("model.decoder.embed_positions.weight"),
         "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
-        "final_ln": arr("model.decoder.final_layer_norm.weight"),
-        "final_ln_b": arr("model.decoder.final_layer_norm.bias"),
     }
+    if has("model.decoder.final_layer_norm.weight"):
+        params["final_ln"] = arr("model.decoder.final_layer_norm.weight")
+        params["final_ln_b"] = arr("model.decoder.final_layer_norm.bias")
+    # opt-350m: narrow embedding space projected into/out of the stream
+    # (reference pre/post layers, utils/misc.py:77-79)
+    if has("model.decoder.project_in.weight"):
+        params["project_in"] = jnp.asarray(
+            get("model.decoder.project_in.weight").T, dtype=dtype
+        )
+        params["project_out"] = jnp.asarray(
+            get("model.decoder.project_out.weight").T, dtype=dtype
+        )
     if has("lm_head.weight"):
         params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype=dtype)
     else:  # tied embeddings

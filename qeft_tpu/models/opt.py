@@ -33,6 +33,11 @@ class OPTConfig:
     max_position_embeddings: int = 2048
     layer_norm_eps: float = 1e-5
     do_layer_norm_before: bool = True
+    # opt-350m: token embeddings live in a narrower space and are projected
+    # into/out of the hidden stream (HF word_embed_proj_dim; the reference
+    # appends project_in/out to pre/post layers, utils/misc.py:77-79).
+    # opt-350m is also post-LN (do_layer_norm_before=False, no final LN).
+    word_embed_proj_dim: Optional[int] = None  # None -> hidden_size
     dtype: Any = jnp.bfloat16
 
     @property
@@ -43,14 +48,27 @@ class OPTConfig:
     def num_kv_heads(self) -> int:
         return self.num_heads  # OPT is MHA
 
+    @property
+    def embed_dim(self) -> int:
+        return self.word_embed_proj_dim or self.hidden_size
+
 
 OPT_PRESETS: Dict[str, OPTConfig] = {
     "opt-125m": OPTConfig(),
     "opt-1.3b": OPTConfig(hidden_size=2048, ffn_dim=8192, num_layers=24, num_heads=32),
     "opt-6.7b": OPTConfig(hidden_size=4096, ffn_dim=16384, num_layers=32, num_heads=32),
+    "opt-350m": OPTConfig(
+        hidden_size=1024, ffn_dim=4096, num_layers=24, num_heads=16,
+        word_embed_proj_dim=512, do_layer_norm_before=False,
+    ),
     "opt-tiny": OPTConfig(
         vocab_size=256, hidden_size=128, ffn_dim=256, num_layers=2, num_heads=4,
         max_position_embeddings=128,
+    ),
+    "opt-tiny-350m": OPTConfig(  # opt-350m quirks at test scale
+        vocab_size=256, hidden_size=128, ffn_dim=256, num_layers=2, num_heads=4,
+        max_position_embeddings=128, word_embed_proj_dim=64,
+        do_layer_norm_before=False,
     ),
 }
 
@@ -88,17 +106,24 @@ def init_params(cfg: OPTConfig, key: jax.Array, dtype=None) -> Dict:
         }
 
     blocks = [block(jax.random.fold_in(keys[0], i)) for i in range(cfg.num_layers)]
-    return {
-        "embed": (jax.random.normal(keys[1], (cfg.vocab_size, d), jnp.float32) * 0.02).astype(dtype),
+    e = cfg.embed_dim
+    out = {
+        "embed": (jax.random.normal(keys[1], (cfg.vocab_size, e), jnp.float32) * 0.02).astype(dtype),
         "embed_pos": (
             jax.random.normal(keys[2], (cfg.max_position_embeddings + _POS_OFFSET, d), jnp.float32)
             * 0.02
         ).astype(dtype),
         "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
-        "final_ln": jnp.ones((d,), dtype),
-        "final_ln_b": jnp.zeros((d,), dtype),
-        "lm_head": lin(keys[3], d, cfg.vocab_size),
+        "lm_head": lin(keys[3], e, cfg.vocab_size),
     }
+    if cfg.do_layer_norm_before:
+        # post-LN OPT (350m) has no final layer norm (HF modeling_opt)
+        out["final_ln"] = jnp.ones((d,), dtype)
+        out["final_ln_b"] = jnp.zeros((d,), dtype)
+    if e != d:
+        out["project_in"] = lin(keys[4], e, d)
+        out["project_out"] = lin(keys[5], d, e)
+    return out
 
 
 def layer_norm(x, w, b, eps):
@@ -111,6 +136,8 @@ def layer_norm(x, w, b, eps):
 def _embed_opt(params: Dict, tokens: jax.Array, positions: jax.Array) -> jax.Array:
     """tokens [B, S]; positions [B, S] or [1, S] absolute positions."""
     x = jnp.take(params["embed"], tokens, axis=0)
+    if "project_in" in params:  # opt-350m narrow embedding space
+        x = apply_linear(params["project_in"], x, x.dtype)
     return x + jnp.take(params["embed_pos"], positions + _POS_OFFSET, axis=0)
 
 
@@ -177,7 +204,10 @@ def opt_block(
 
 
 def _final(params: Dict, x: jax.Array, cfg: OPTConfig) -> jax.Array:
-    x = layer_norm(x, params["final_ln"], params["final_ln_b"], cfg.layer_norm_eps)
+    if "final_ln" in params:  # absent for post-LN opt-350m
+        x = layer_norm(x, params["final_ln"], params["final_ln_b"], cfg.layer_norm_eps)
+    if "project_out" in params:
+        x = apply_linear(params["project_out"], x, x.dtype)
     return apply_linear(params["lm_head"], x, x.dtype)
 
 

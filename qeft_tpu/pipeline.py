@@ -192,12 +192,15 @@ def block_forward_batch(blk, inps, cfg: LlamaConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _opt_embed_tokens(embed, embed_pos, tokens, cfg):
+def _opt_embed_tokens(embed, embed_pos, tokens, cfg, project_in=None):
     from qeft_tpu.models.opt import _POS_OFFSET
 
     s = tokens.shape[1]
     pos = jnp.arange(s) + _POS_OFFSET
-    return jnp.take(embed, tokens, axis=0) + jnp.take(embed_pos, pos, axis=0)[None]
+    x = jnp.take(embed, tokens, axis=0)
+    if project_in is not None:  # opt-350m narrow embedding space
+        x = x.astype(project_in.dtype) @ project_in
+    return x + jnp.take(embed_pos, pos, axis=0)[None]
 
 
 @partial(jax.jit, static_argnames=("cfg", "stages"))
@@ -313,6 +316,10 @@ def _family_ops_build(meta: ModelMeta):
             lambda params, tokens, cfg: _opt_embed_tokens(
                 jnp.asarray(params["embed"]), jnp.asarray(params["embed_pos"]),
                 tokens, cfg,
+                project_in=(
+                    jnp.asarray(params["project_in"])
+                    if "project_in" in params else None
+                ),
             ),
             opt_block_hessians,
             opt_block_forward_batch,
@@ -618,6 +625,16 @@ def reorder_model(
     output biases (reference reorder.py:14-24 handles embed_positions the
     same way for OPT).
     """
+    if "project_in" in params:
+        raise ValueError(
+            "global reorder is not supported for models whose residual "
+            "stream passes through embedding projections (opt-350m "
+            "project_in/out): the token-embedding space and the hidden "
+            "stream have different widths.  (The reference's reorder_embeds "
+            "permutes project_in's INPUT dim, reorder.py:14-24, which does "
+            "not permute the stream either.)  Quantize without --reorder "
+            "(per-layer outlier path)."
+        )
     d = cfg.hidden_size
     g_ids = sparse_to_dense_ids(global_out, d)  # [D]
 
@@ -690,6 +707,11 @@ def reorder_model_host(
     [K, N] temporary instead of duplicating the whole multi-GB tree)."""
     import numpy as _np
 
+    if "project_in" in params:
+        raise ValueError(
+            "global reorder is not supported with embedding projections "
+            "(opt-350m); see reorder_model"
+        )
     d = cfg.hidden_size
     go = _np.asarray(global_out)
     mask = _np.ones((d,), bool)

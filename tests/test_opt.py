@@ -137,3 +137,59 @@ def test_opt_checkpoint_family_roundtrip(tmp_path):
     toks_a, _ = generate(packed, prompt, cache, cfg, 6, SampleConfig(), api=api)
     toks_b, _ = generate(loaded, prompt, cache, cfg, 6, SampleConfig(), api=api)
     np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_b))
+
+
+CFG350 = OPT_PRESETS["opt-tiny-350m"]
+
+
+def test_opt_350m_decode_matches_forward():
+    """opt-350m quirks (project_in/out narrow embedding space, post-LN, no
+    final LN — HF word_embed_proj_dim; reference utils/misc.py:77-79):
+    decode == forward logit equality."""
+    params = init_params(CFG350, jax.random.PRNGKey(7), dtype=jnp.float32)
+    assert "project_in" in params and "final_ln" not in params
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, CFG350.vocab_size, size=(1, 9))
+
+    full = np.asarray(opt_forward(params, jnp.asarray(toks), CFG350))
+    assert np.isfinite(full).all()
+
+    cache = init_kv_cache(CFG350, 1, 16, dtype=jnp.float32)
+    logits_pre, cache = opt_prefill(params, jnp.asarray(toks[:, :5]), cache, CFG350)
+    np.testing.assert_allclose(np.asarray(logits_pre), full[:, :5], rtol=2e-4, atol=2e-4)
+    for i in range(5, 9):
+        step_logits, cache = opt_decode_step(
+            params, jnp.asarray(toks[:, i : i + 1]), cache, jnp.int32(i), CFG350
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits), full[:, i], rtol=2e-4, atol=2e-4
+        )
+
+
+def test_opt_350m_quantize_per_layer_and_reorder_refused():
+    """opt-350m quantizes through the per-layer outlier path; the global
+    reorder must refuse loudly (the stream passes through project_in/out)."""
+    import pytest
+    from qeft_tpu.models.registry import get_model_meta
+    from qeft_tpu.pipeline import (
+        QuantizeArgs, pack_model, quantize_model, reorder_model,
+    )
+    from qeft_tpu.quant.quantizer import QuantSpec
+
+    meta = get_model_meta("opt")
+    params = init_params(CFG350, jax.random.PRNGKey(8), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    calib = rng.integers(0, CFG350.vocab_size, size=(2, 16))
+    args = QuantizeArgs(
+        spec=QuantSpec(bits=4, sym=False, mse=False, group_size=32),
+        target_rank=8, no_frob_norm=True, nsamples=2, reorder=False,
+    )
+    qparams, quantizers = quantize_model(params, calib, CFG350, meta, args)
+    packed = pack_model(qparams, quantizers, CFG350, meta, dtype=jnp.float32)
+    toks = jnp.asarray(calib[:1])
+    lq = np.asarray(opt_forward(qparams, toks, CFG350))
+    lp = np.asarray(opt_forward(packed, toks, CFG350))
+    np.testing.assert_allclose(lp, lq, rtol=2e-2, atol=2e-2)
+
+    with pytest.raises(ValueError, match="project_in"):
+        reorder_model(params, quantizers, jnp.arange(8), CFG350, meta)
