@@ -40,6 +40,7 @@ def main(argv=None):
                              "sampling with exact target distribution)")
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--top_k", type=int, default=0)
+    parser.add_argument("--top_p", type=float, default=1.0)
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--fuse_stages", action="store_true", default=True)
@@ -82,7 +83,8 @@ def main(argv=None):
     cache = init_kv_cache(cfg, 1, max_len, dtype=jnp.bfloat16)
 
     sc = SampleConfig(
-        greedy=not args.sample, temperature=args.temperature, top_k=args.top_k
+        greedy=not args.sample, temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p,
     )
     if args.method == "spec":
         from qeft_tpu.speculative import (

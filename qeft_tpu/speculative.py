@@ -37,12 +37,22 @@ from qeft_tpu.models.llama import (
 
 def _warp_probs(logits: jax.Array, sc: SampleConfig) -> jax.Array:
     """Post-processing distribution both models sample from (temperature +
-    top-k), matching the reference's logits-warper stack applied before
-    `_speculative_sampling` (ftllama_generate.py:468-474)."""
+    top-k + top-p), matching the reference's logits-warper stack applied
+    before `_speculative_sampling` (ftllama_generate.py:468-474).  Warping
+    draft and target identically preserves the exact-target-distribution
+    guarantee of the accept/resample rule."""
     logits = logits.astype(jnp.float32) / sc.temperature
     if sc.top_k > 0:
         kth = jnp.sort(logits, axis=-1)[..., -sc.top_k][..., None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if sc.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        p = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(p, axis=-1)
+        keep = cum - p < sc.top_p
+        n_keep = jnp.maximum(keep.sum(axis=-1, keepdims=True), 1)
+        cutoff = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     return jax.nn.softmax(logits, axis=-1)
 
 

@@ -99,11 +99,19 @@ def test_accept_rule_emits_target_distribution():
     assert tv_n > 0.1, tv_n
 
 
-def test_sampled_spec_matches_target_only_sampling():
+import pytest
+
+
+@pytest.mark.parametrize(
+    "warp", [dict(), dict(top_p=0.7), dict(top_k=8, temperature=0.8)]
+)
+def test_sampled_spec_matches_target_only_sampling(warp):
     """End-to-end: generated-token marginals under speculative sampling match
     target-only sampling (small-vocab model pair so empirical TV noise
     ~sqrt(vocab/n) is well below the tolerance).  Position 0 checks the rng
-    plumbing; positions 1+ are produced by the draft/accept/resample path."""
+    plumbing; positions 1+ are produced by the draft/accept/resample path.
+    Parametrized over the logits-warper stack (plain / nucleus / top-k+temp):
+    identical warping of draft and target must preserve the guarantee."""
     import dataclasses
 
     cfg = dataclasses.replace(
@@ -113,7 +121,7 @@ def test_sampled_spec_matches_target_only_sampling():
     target = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
     draft = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
     prompt = jnp.asarray(np.random.default_rng(0).integers(0, 32, size=(1, 6)))
-    sc = SampleConfig(greedy=False, temperature=1.0)
+    sc = SampleConfig(**{"greedy": False, "temperature": 1.0, **warp})
     n_trials = 1500
 
     def spec_first(key):
