@@ -39,7 +39,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--load", type=str, required=True, help="packed ckpt path")
     parser.add_argument("--dataset", type=str, default="synthetic",
-                        choices=["synthetic", "platypus", "alpaca", "oasst1"])
+                        choices=["synthetic", "platypus", "alpaca", "oasst1",
+                                 "wikitext", "wikitext2"])
     parser.add_argument("--tokenizer", type=str, default=None)
     parser.add_argument("--output_dir", type=str, required=True)
     parser.add_argument("--max_steps", type=int, default=100)
@@ -58,6 +59,11 @@ def main(argv=None):
     parser.add_argument("--nsamples", type=int, default=None)
     parser.add_argument("--no_remat", action="store_true")
     parser.add_argument("--epochs", type=int, default=100)
+    # held-out validation loss (reference finetune runs HF Trainer's do_eval)
+    parser.add_argument("--eval_steps", type=int, default=0,
+                        help="eval validation loss every N steps (0 = off)")
+    parser.add_argument("--eval_nsamples", type=int, default=32,
+                        help="examples held out of training for validation")
     # MMLU eval callback during training (reference finetune.py:970-1034 runs
     # a periodic MMLU accuracy eval on the training model)
     parser.add_argument("--do_mmlu_eval", action="store_true")
@@ -115,10 +121,38 @@ def main(argv=None):
     examples = load_sft_examples(
         args.dataset, args.tokenizer, args.nsamples, cfg.vocab_size, args.seed
     )
+    eval_examples = []
+    if args.eval_steps > 0:
+        if len(examples) <= args.eval_nsamples:
+            raise ValueError(
+                f"--eval_nsamples {args.eval_nsamples} >= dataset size "
+                f"{len(examples)}; nothing left to train on"
+            )
+        eval_examples = examples[-args.eval_nsamples:]
+        examples = examples[: -args.eval_nsamples]
     data = batches(
         examples, args.batch_size, args.source_max_len, args.seed,
         epochs=args.epochs,
     )
+
+    def run_eval(step, ow):
+        """Held-out validation loss on the current training model."""
+        import jax as _jax
+
+        from qeft_tpu.data.sft import mask_and_pad
+        from qeft_tpu.finetune import wct_loss
+
+        loss_fn = _jax.jit(wct_loss, static_argnames=("cfg", "remat"))
+        total, nb = 0.0, 0
+        for i in range(0, len(eval_examples) - args.batch_size + 1, args.batch_size):
+            chunk = eval_examples[i : i + args.batch_size]
+            ids, labels = mask_and_pad(chunk, args.source_max_len, 0, False)
+            total += float(loss_fn(ow, frozen, jnp.asarray(ids),
+                                   jnp.asarray(labels), cfg=cfg, remat=False))
+            nb += 1
+        eval_loss = total / max(nb, 1)
+        print(f"step {step}  eval-loss {eval_loss:.4f} (n={nb * args.batch_size})")
+        return {"step": step, "eval_loss": eval_loss}
 
     mmlu_examples = None
     if args.do_mmlu_eval:
@@ -163,9 +197,13 @@ def main(argv=None):
             )
         if mmlu_examples is not None and step % mmlu_every == 0:
             metrics.append(run_mmlu(step, oweights))
+        if args.eval_steps > 0 and step % args.eval_steps == 0:
+            metrics.append(run_eval(step, oweights))
 
     if mmlu_examples is not None:
         metrics.append(run_mmlu(step, oweights))
+    if args.eval_steps > 0 and step % args.eval_steps != 0:
+        metrics.append(run_eval(step, oweights))
     save_wct(os.path.join(args.output_dir, "wct_final"), oweights, args.load)
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1)
