@@ -1,0 +1,179 @@
+"""GPipe-style pipeline-parallel decode over a ``pp`` mesh axis.
+
+TPU-native successor of the reference's ONLY multi-device mechanism,
+``model_multigpu`` (/root/reference/qeft/utils/modelutils.py:21-57), which
+round-robins transformer blocks over GPUs and moves activations with blocking
+``.to(device)`` copies — one batch at a time, zero overlap.  Here:
+
+- the stacked layer dimension (and the KV cache's layer dimension) is sharded
+  over the ``pp`` axis: stage ``p`` holds layers ``[p*L/P, (p+1)*L/P)``;
+- the decode batch is split into M microbatches that flow through the stages
+  on a dense GPipe schedule: at tick ``t`` stage ``p`` runs microbatch
+  ``t - p``, so after the P-tick fill every stage computes concurrently;
+- activations move stage->stage with a single `lax.ppermute` ring step per
+  tick (rides ICI; XLA overlaps it with the next tick's compute);
+- the last stage computes logits; one masked `psum` at the end replicates
+  them (all other stages contribute zeros).
+
+Everything runs inside one `shard_map`, so the whole pipelined step is a
+single compiled program — there is no host-side scheduler.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qeft_tpu.models.llama import (
+    LlamaConfig,
+    _embed,
+    _kv_dict,
+    _kv_of,
+    apply_linear,
+    llama_block,
+    rms_norm,
+    rope_tables,
+)
+
+
+def pp_shardings(params: Dict, cache: Dict, mesh: Mesh):
+    """NamedShardings placing the layer dim on ``pp``; everything else
+    replicated.  Apply with `jax.device_put((params, cache), pp_shardings(...))`."""
+    rep = NamedSharding(mesh, P())
+    lay = NamedSharding(mesh, P("pp"))
+
+    p_sh = {
+        k: (jax.tree.map(lambda _: lay, v) if k == "layers"
+            else jax.tree.map(lambda _: rep, v))
+        for k, v in params.items()
+    }
+    c_sh = jax.tree.map(lambda _: lay, cache)
+    return p_sh, c_sh
+
+
+def _run_span(local_layers, local_cache, x, cfg, cos, sin, mask, pos):
+    """Scan this stage's local layer span over one microbatch activation."""
+
+    def body(xc, inp):
+        blk, c = inp
+        out, new_kv, _ = llama_block(
+            blk, xc, cfg, cos, sin, mask, kv=_kv_of(c), cache_pos=pos
+        )
+        return out, _kv_dict(new_kv)
+
+    return jax.lax.scan(body, x, (local_layers, local_cache))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "n_microbatches"),
+)
+def pp_decode_step(
+    params: Dict,
+    tokens: jax.Array,  # [B, 1]
+    cache: Dict,  # [L, B, H_kv, S_max, Dh] leaves, L sharded over pp
+    pos: jax.Array,  # scalar int32
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    n_microbatches: int = 0,
+) -> Tuple[jax.Array, Dict]:
+    """One pipelined decode step. Returns (logits [B, V], new cache).
+
+    ``n_microbatches`` defaults to the number of pipeline stages (the minimum
+    that keeps every stage busy in steady state); must divide B.
+    """
+    n_pp = mesh.shape["pp"]
+    b = tokens.shape[0]
+    m_count = n_microbatches or min(n_pp, b)
+    assert b % m_count == 0, (b, m_count)
+    mb = b // m_count
+    assert cfg.num_layers % n_pp == 0, (cfg.num_layers, n_pp)
+
+    lay = P("pp")
+    rep = P()
+    in_specs = (
+        {k: (jax.tree.map(lambda _: lay, v) if k == "layers"
+             else jax.tree.map(lambda _: rep, v))
+         for k, v in params.items()},
+        rep,  # tokens
+        jax.tree.map(lambda _: lay, cache),
+        rep,  # pos
+    )
+    out_specs = (rep, jax.tree.map(lambda _: lay, cache))
+
+    max_len = cache["k"].shape[3]
+
+    def stage(params_l, toks, cache_l, pos_):
+        p = jax.lax.axis_index("pp")
+        # replicated prologue: embedding + rope + mask for ALL microbatches
+        x0 = _embed(params_l, toks, cfg)  # [B, 1, D]
+        x0 = x0.reshape(m_count, mb, 1, -1)
+        positions = (pos_ + jnp.zeros((1, 1), jnp.int32)).astype(jnp.int32)
+        cos, sin = rope_tables(cfg, positions)
+        key_pos = jnp.arange(max_len)[None, None, None, :]
+        mask = jnp.where(key_pos <= pos_, 0.0, -jnp.inf).astype(jnp.float32)
+
+        vocab = cfg.vocab_size
+        logits_acc = jnp.zeros((m_count, mb, vocab), jnp.float32)
+        carry = jnp.zeros_like(x0[0])  # activation arriving from prev stage
+
+        def tick(t, state):
+            carry, cache_c, logits_acc = state
+            m = t - p  # this stage's microbatch index at tick t
+            active = (m >= 0) & (m < m_count)
+            m_c = jnp.clip(m, 0, m_count - 1)
+
+            x_in = jnp.where(p == 0, x0[m_c], carry)
+            # slice this microbatch's cache rows [L/P, mb, H, S, Dh]
+            c_mb = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, m_c * mb, mb, axis=1),
+                cache_c,
+            )
+            x_out, c_mb_new = _run_span(
+                params_l["layers"], c_mb, x_in, cfg, cos, sin, mask, pos_
+            )
+            # masked write-back of the microbatch's KV rows
+            cache_c = jax.tree.map(
+                lambda a, n, o: jax.lax.dynamic_update_slice_in_dim(
+                    a, jnp.where(active, n, o), m_c * mb, axis=1
+                ),
+                cache_c, c_mb_new, c_mb,
+            )
+            # last stage: project to logits and accumulate
+            h = rms_norm(x_out, params_l["final_ln"], cfg.rms_norm_eps,
+                         cfg.rms_one_offset)
+            lg = apply_linear(params_l["lm_head"], h, h.dtype)
+            lg = lg[:, 0, :].astype(jnp.float32)
+            take = active & (p == n_pp - 1)
+            logits_acc = jax.lax.dynamic_update_slice_in_dim(
+                logits_acc,
+                jnp.where(
+                    take,
+                    lg,
+                    jax.lax.dynamic_slice_in_dim(logits_acc, m_c, 1, axis=0)[0],
+                )[None],
+                m_c,
+                axis=0,
+            )
+            # ring-step activations to the next stage
+            carry = jax.lax.ppermute(
+                x_out, "pp", [(i, (i + 1) % n_pp) for i in range(n_pp)]
+            )
+            return carry, cache_c, logits_acc
+
+        n_ticks = n_pp + m_count - 1
+        _, cache_l, logits_acc = jax.lax.fori_loop(
+            0, n_ticks, tick, (carry, cache_l, logits_acc)
+        )
+        # only the last stage holds real logits; psum replicates them
+        logits = jax.lax.psum(logits_acc, "pp").reshape(b, vocab)
+        return logits, cache_l
+
+    return jax.shard_map(
+        stage, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(params, tokens, cache, pos)
