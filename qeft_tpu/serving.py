@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qeft_tpu.generate import SampleConfig, _sample_token
 from qeft_tpu.models.llama import (
     LlamaConfig,
     init_kv_cache,
@@ -61,16 +62,20 @@ def _prefill_into_slot(params, prompt, cache, slot, cfg: LlamaConfig):
     return logits[:, -1, :], cache
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def _decode_batch(params, tokens, cache, pos, cfg: LlamaConfig):
+@partial(jax.jit, static_argnames=("cfg", "sc"), donate_argnames=("cache",))
+def _decode_batch(params, tokens, cache, pos, cfg: LlamaConfig,
+                  sc: SampleConfig, key):
     # donated cache: the per-tick KV append aliases in place instead of
     # copying the whole [L, B, S, H, D] cache through the jit boundary
     logits, cache = llama_decode_step_ragged(params, tokens, cache, pos, cfg)
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+    return _sample_token(logits, key, sc), cache
 
 
 class Engine:
-    """Greedy continuous-batching engine (single host, single or sharded chip)."""
+    """Continuous-batching engine (single host, single or sharded chip).
+
+    Greedy by default; pass ``sample_config`` for temperature/top-k/top-p
+    sampling (one engine-level config; each tick draws a fresh key)."""
 
     def __init__(
         self,
@@ -80,12 +85,16 @@ class Engine:
         max_len: int = 2048,
         eos_id: Optional[int] = None,
         cache_dtype=jnp.bfloat16,
+        sample_config: SampleConfig = SampleConfig(greedy=True),
+        rng_seed: int = 0,
     ):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_len = max_len
         self.eos_id = eos_id
+        self.sc = sample_config
+        self.key = jax.random.PRNGKey(rng_seed)
         self.cache = init_kv_cache(cfg, max_batch, max_len, dtype=cache_dtype)
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.pos = np.zeros((max_batch,), np.int32)
@@ -96,6 +105,10 @@ class Engine:
     def submit(self, req: Request):
         self.queue.append(req)
 
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
     def _admit(self):
         for slot in range(self.max_batch):
             if self.slots[slot] is None and self.queue:
@@ -104,7 +117,9 @@ class Engine:
                 last_logits, self.cache = _prefill_into_slot(
                     self.params, prompt, self.cache, jnp.int32(slot), self.cfg
                 )
-                first = int(np.asarray(jnp.argmax(last_logits, axis=-1))[0])
+                first = int(np.asarray(_sample_token(
+                    last_logits, self._next_key(), self.sc
+                ))[0])
                 req.output.append(first)
                 self.slots[slot] = req
                 self.pos[slot] = len(req.prompt)
@@ -134,7 +149,10 @@ class Engine:
             return False
         tokens = jnp.asarray(self.cur_token)
         pos = jnp.asarray(self.pos)
-        nxt, self.cache = _decode_batch(self.params, tokens, self.cache, pos, self.cfg)
+        nxt, self.cache = _decode_batch(
+            self.params, tokens, self.cache, pos, self.cfg, self.sc,
+            self._next_key(),
+        )
         nxt = np.asarray(nxt)
         for slot in active:
             req = self.slots[slot]

@@ -119,3 +119,24 @@ def test_engine_with_int8_kv_cache(monkeypatch):
         assert "k_scale" in cache
         ref, _ = generate(params, jnp.asarray(p[None, :]), cache, CFG, 4, SampleConfig())
         assert by_id[i].output == np.asarray(ref)[0].tolist(), i
+
+
+def test_engine_sampling_mode():
+    """Sampling engine (temperature/top-p) serves to completion with tokens in
+    range; greedy remains the default (covered by the equality tests above)."""
+    from qeft_tpu.generate import SampleConfig
+
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    eng = Engine(
+        params, CFG, max_batch=2, max_len=32, cache_dtype=jnp.float32,
+        sample_config=SampleConfig(greedy=False, temperature=0.9, top_p=0.9),
+        rng_seed=7,
+    )
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        eng.submit(Request(i, rng.integers(0, CFG.vocab_size, size=(4,)), 6))
+    done = eng.run()
+    assert len(done) == 3
+    for r in done:
+        assert len(r.output) == 6
+        assert all(0 <= t < CFG.vocab_size for t in r.output)
