@@ -49,7 +49,8 @@ def _sample_token(logits: jax.Array, key: jax.Array, sc: SampleConfig) -> jax.Ar
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "sc", "api"))
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "sc", "api",
+                                   "eos_id"))
 def generate(
     params: Dict,
     prompt: jax.Array,
@@ -59,12 +60,15 @@ def generate(
     sc: SampleConfig = SampleConfig(),
     rng: Optional[jax.Array] = None,
     api: Optional[ModelApi] = None,
+    eos_id: Optional[int] = None,
 ) -> Tuple[jax.Array, Dict]:
     """prompt: [B, S_prompt] -> generated tokens [B, max_new_tokens].
 
     The entire prefill + decode loop is one compiled program.  ``api``
-    selects the model family's forwards (default: llama).
-    """
+    selects the model family's forwards (default: llama).  With ``eos_id``
+    the loop exits early once EVERY sequence has emitted EOS (lax.while_loop)
+    and finished sequences are eos-padded — the reference's stopping-criteria
+    path (HF generate semantics, ftllama_generate.py _sample)."""
     b, s_prompt = prompt.shape
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -74,23 +78,42 @@ def generate(
     logits, cache = api.prefill(params, prompt, cache, cfg)
     first = _sample_token(logits[:, -1, :], rng, sc)
 
-    out_tokens = jnp.zeros((b, max_new_tokens), jnp.int32)
+    fill = 0 if eos_id is None else eos_id
+    out_tokens = jnp.full((b, max_new_tokens), fill, jnp.int32)
     out_tokens = out_tokens.at[:, 0].set(first)
 
-    def body(i, carry):
-        tokens, cache, key = carry
+    def step(i, tokens, cache, key, done):
         key, sub = jax.random.split(key)
         cur = jax.lax.dynamic_slice(tokens, (0, i - 1), (b, 1))
         logits, cache = api.decode_step(
             params, cur, cache, jnp.int32(s_prompt + i - 1), cfg
         )
         nxt = _sample_token(logits, sub, sc)
+        if eos_id is not None:
+            nxt = jnp.where(done, eos_id, nxt)
+            done = done | (nxt == eos_id)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i))
-        return tokens, cache, key
+        return tokens, cache, key, done
 
-    out_tokens, cache, _ = jax.lax.fori_loop(
-        1, max_new_tokens, body, (out_tokens, cache, rng)
-    )
+    done0 = (first == eos_id) if eos_id is not None else jnp.zeros((b,), bool)
+    if eos_id is None:
+        out_tokens, cache, _, _ = jax.lax.fori_loop(
+            1, max_new_tokens,
+            lambda i, c: step(i, *c), (out_tokens, cache, rng, done0),
+        )
+    else:
+        def cond(carry):
+            i, _, _, _, done = carry
+            return (i < max_new_tokens) & ~jnp.all(done)
+
+        def body(carry):
+            i, tokens, cache, key, done = carry
+            tokens, cache, key, done = step(i, tokens, cache, key, done)
+            return i + 1, tokens, cache, key, done
+
+        _, out_tokens, cache, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), out_tokens, cache, rng, done0)
+        )
     return out_tokens, cache
 
 

@@ -64,3 +64,31 @@ def test_top_p_one_is_identity():
     a = _sample_token(logits, k, SampleConfig(greedy=False, top_p=1.0))
     b = _sample_token(logits, k, SampleConfig(greedy=False))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eos_early_exit_and_padding():
+    """With eos_id, generation matches the unrestricted run up to and
+    including the first EOS, is eos-padded after it, and the early-exiting
+    while_loop produces identical output to the dense loop."""
+    from qeft_tpu.generate import generate
+    from qeft_tpu.models.llama import init_kv_cache
+
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompt = jnp.asarray(np.random.default_rng(4).integers(0, CFG.vocab_size, (2, 4)))
+    n = 8
+
+    cache = init_kv_cache(CFG, 2, 16, dtype=jnp.float32)
+    free, _ = generate(params, prompt, cache, CFG, n)
+    free = np.asarray(free)
+
+    # pick the token each sequence emits at position 3 as "EOS" for seq 0
+    eos = int(free[0, 3])
+    cache = init_kv_cache(CFG, 2, 16, dtype=jnp.float32)
+    out, _ = generate(params, prompt, cache, CFG, n, eos_id=eos)
+    out = np.asarray(out)
+
+    for bidx in range(2):
+        hits = np.where(free[bidx] == eos)[0]
+        stop = hits[0] if hits.size else n - 1
+        np.testing.assert_array_equal(out[bidx, : stop + 1], free[bidx, : stop + 1])
+        assert (out[bidx, stop + 1 :] == eos).all()
