@@ -29,8 +29,28 @@ Prints exactly one JSON line.
 
 import json
 import os
+import socket
 import sys
 import time
+
+
+def _await_tpu_relay(timeout_s: float = 900.0):
+    """The axon tunnel relay (127.0.0.1:8082) sometimes dies; jax then HANGS
+    on first device op instead of erroring.  Probe before importing jax and
+    wait for the host orchestrator to respawn it; give up loudly after
+    ``timeout_s`` so the driver sees a failure, not an eternal hang."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        try:
+            with socket.create_connection(("127.0.0.1", 8082), timeout=2):
+                return
+        except OSError:
+            print("bench: TPU relay port closed; waiting...", file=sys.stderr)
+            time.sleep(20)
+    raise RuntimeError("TPU relay (127.0.0.1:8082) unreachable for 15 min")
+
+
+_await_tpu_relay()
 
 import jax
 import jax.numpy as jnp

@@ -21,6 +21,14 @@ mkdir -p "$CKPT"
 echo never > /sys/kernel/mm/transparent_hugepage/enabled 2>/dev/null || true
 export NUMPY_MADVISE_HUGEPAGE=0
 
+# The axon relay must be up or every jax op hangs (see scripts/README.md)
+for i in $(seq 1 45); do
+    if timeout 2 bash -c '</dev/tcp/127.0.0.1/8082' 2>/dev/null; then break; fi
+    echo "waiting for TPU relay (attempt $i)"; sleep 20
+done
+timeout 2 bash -c '</dev/tcp/127.0.0.1/8082' 2>/dev/null \
+    || { echo "TPU relay unreachable"; exit 1; }
+
 echo "=== [1/3] extract global outlier index (OGR step 1) ==="
 python -m qeft_tpu.extract_outidx llama2-7b synthetic \
     --wbits 4 --target_rank 128 --groupsize 128 --no_frob_norm \
