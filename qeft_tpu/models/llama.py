@@ -482,27 +482,30 @@ def llama_forward_window(
     return logits, new_cache
 
 
-def llama_decode_step_ragged(
+def llama_forward_window_ragged(
     params: Dict, tokens: jax.Array, cache: Dict, pos: jax.Array, cfg: LlamaConfig
 ):
-    """Batched decode with PER-SEQUENCE positions (continuous batching).
+    """Forward a window of W tokens per sequence at PER-SEQUENCE offsets.
 
-    tokens: [B, 1]; pos: [B] int32 — each sequence writes its KV at its own
-    position and attends its own prefix.  This is the ragged decode primitive
-    the serving engine batches heterogeneous requests with (no analogue in the
-    reference, which is single-sequence).
+    tokens: [B, W]; pos: [B] int32 — sequence b's window starts at absolute
+    position pos[b]: its KV slab is written at [pos[b], pos[b]+W) and query i
+    attends cache entries <= pos[b]+i.  W=1 is the continuous-batching decode
+    primitive; W=gamma+1 is the batched speculative verify pass.  Returns
+    (logits [B, W, V], new cache).
     """
-    b = tokens.shape[0]
+    b, w = tokens.shape
     max_len = cache_max_len(cache)
-    x = _embed(params, tokens, cfg)  # [B, 1, D]
-    cos, sin = rope_tables(cfg, pos[:, None])  # [B, 1, Dh]
-    valid = jnp.arange(max_len)[None, None, None, :] <= pos[:, None, None, None]
-    mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)  # [B,1,1,S]
+    x = _embed(params, tokens, cfg)  # [B, W, D]
+    positions = pos[:, None] + jnp.arange(w)[None, :]  # [B, W]
+    cos, sin = rope_tables(cfg, positions)  # [B, W, Dh]
+    key_pos = jnp.arange(max_len)[None, None, None, :]
+    query_pos = positions[:, None, :, None]  # [B, 1, W, 1]
+    mask = jnp.where(key_pos <= query_pos, 0.0, -jnp.inf).astype(jnp.float32)
 
     def write_at(cache_l, new):
-        # per-sequence scatter: vmap a length-1 dynamic update over the batch
-        # cache_l: [B, H_kv, S, Dh], new [B, H_kv, 1, Dh] — or the per-vector
-        # scale planes [B, H_kv, S] / [B, H_kv, 1]
+        # per-sequence scatter: vmap a length-W dynamic update over the batch
+        # cache_l: [B, H_kv, S, Dh], new [B, H_kv, W, Dh] — or the per-vector
+        # scale planes [B, H_kv, S] / [B, H_kv, W]
         def one(c, n, p):
             return jax.lax.dynamic_update_slice(c, n, (0, p, 0)[: c.ndim])
 
@@ -517,13 +520,13 @@ def llama_decode_step_ragged(
         h = rms_norm(xc, blk["input_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
         if "qkv" in blk:
             qkv = apply_linear(blk["qkv"], h, dtype)
-            q = qkv[..., : hq * dh].reshape(b, 1, hq, dh)
-            k = qkv[..., hq * dh : (hq + hkv) * dh].reshape(b, 1, hkv, dh)
-            v = qkv[..., (hq + hkv) * dh :].reshape(b, 1, hkv, dh)
+            q = qkv[..., : hq * dh].reshape(b, w, hq, dh)
+            k = qkv[..., hq * dh : (hq + hkv) * dh].reshape(b, w, hkv, dh)
+            v = qkv[..., (hq + hkv) * dh :].reshape(b, w, hkv, dh)
         else:
-            q = apply_linear(blk["q"], h, dtype).reshape(b, 1, hq, dh)
-            k = apply_linear(blk["k"], h, dtype).reshape(b, 1, hkv, dh)
-            v = apply_linear(blk["v"], h, dtype).reshape(b, 1, hkv, dh)
+            q = apply_linear(blk["q"], h, dtype).reshape(b, w, hq, dh)
+            k = apply_linear(blk["k"], h, dtype).reshape(b, w, hkv, dh)
+            v = apply_linear(blk["v"], h, dtype).reshape(b, w, hkv, dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         kh, vh = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
@@ -560,6 +563,20 @@ def llama_decode_step_ragged(
     x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
+    return logits, new_cache
+
+
+def llama_decode_step_ragged(
+    params: Dict, tokens: jax.Array, cache: Dict, pos: jax.Array, cfg: LlamaConfig
+):
+    """Batched decode with PER-SEQUENCE positions (continuous batching).
+
+    tokens: [B, 1]; pos: [B] int32 — each sequence writes its KV at its own
+    position and attends its own prefix.  This is the ragged decode primitive
+    the serving engine batches heterogeneous requests with (no analogue in the
+    reference, which is single-sequence).
+    """
+    logits, new_cache = llama_forward_window_ragged(params, tokens, cache, pos, cfg)
     return logits[:, 0, :], new_cache
 
 

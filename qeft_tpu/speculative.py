@@ -316,3 +316,156 @@ def speculative_generate_sampled(
         / jnp.maximum(rounds.astype(jnp.float32), 1.0),
     }
     return out[:, :max_new_tokens], telemetry
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg_t", "cfg_d", "max_new_tokens", "gamma", "sc", "greedy"),
+)
+def speculative_generate_batched(
+    target_params: Dict,
+    draft_params: Dict,
+    prompt: jax.Array,  # [B, S]
+    t_cache: Dict,
+    d_cache: Dict,
+    cfg_t: LlamaConfig,
+    cfg_d: LlamaConfig,
+    max_new_tokens: int,
+    rng: jax.Array,
+    gamma: int = 4,
+    sc: SampleConfig = SampleConfig(greedy=False),
+    greedy: bool = False,
+) -> Tuple[jax.Array, Dict]:
+    """BATCHED speculative decoding with per-sequence accept lengths.
+
+    Beyond both the reference and HF assisted decoding (batch==1 only,
+    ftllama_generate.py:357-639): every sequence drafts, verifies, and rolls
+    back independently at its own position via the ragged window forward —
+    KV rollback is positional per sequence, so a rejection in one sequence
+    never stalls the others.  ``greedy=True`` reproduces each sequence's own
+    greedy decode; otherwise each emitted token is distributed exactly as
+    target-only sampling (per-sequence accept/resample rule).
+
+    Caches must have >= s_prompt + max_new_tokens + gamma + 1 slots (the last
+    round may scribble up to gamma tokens past a sequence's accepted length).
+    Returns (tokens [B, max_new_tokens], telemetry).
+    """
+    from qeft_tpu.models.llama import (
+        llama_decode_step_ragged,
+        llama_forward_window_ragged,
+    )
+
+    b, s_prompt = prompt.shape
+    vocab = cfg_t.vocab_size
+
+    t_logits, t_cache = llama_prefill(target_params, prompt, t_cache, cfg_t)
+    _, d_cache = llama_prefill(draft_params, prompt, d_cache, cfg_d)
+    rng, k0 = jax.random.split(rng)
+    if greedy:
+        first = jnp.argmax(t_logits[:, -1, :], axis=-1).astype(jnp.int32)
+    else:
+        first = jax.random.categorical(
+            k0, jnp.log(_warp_probs(t_logits[:, -1, :], sc)), axis=-1
+        ).astype(jnp.int32)
+
+    out = jnp.zeros((b, max_new_tokens + gamma + 1), jnp.int32)
+    out = out.at[:, 0].set(first)
+    n_done = jnp.ones((b,), jnp.int32)
+
+    init = (out, n_done, t_cache, d_cache, rng, jnp.int32(0),
+            jnp.zeros((b,), jnp.int32))
+
+    def cond(carry):
+        _, n_done, *_ = carry
+        return jnp.any(n_done < max_new_tokens)
+
+    def body(carry):
+        out, n_done, t_cache, d_cache, rng, rounds, accepted = carry
+        rng, k_draft, k_acc = jax.random.split(rng, 3)
+        bidx = jnp.arange(b)
+        last = out[bidx, n_done - 1][:, None]  # [B, 1]
+        base_pos = s_prompt + n_done - 1  # [B]
+
+        # --- draft: gamma ragged decode steps (every sequence at its own pos)
+        def draft_step(i, c):
+            cand, pd, d_cache, cur = c
+            logits, d_cache = llama_decode_step_ragged(
+                draft_params, cur, d_cache, base_pos + i, cfg_d
+            )
+            if greedy:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                probs = jax.nn.one_hot(nxt, vocab, dtype=jnp.float32)
+            else:
+                probs = _warp_probs(logits, sc)  # [B, V]
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(k_draft, i), jnp.log(probs), axis=-1
+                ).astype(jnp.int32)
+            cand = cand.at[:, i].set(nxt)
+            pd = pd.at[:, i].set(probs)
+            return cand, pd, d_cache, nxt[:, None]
+
+        cand = jnp.zeros((b, gamma), jnp.int32)
+        pd = jnp.zeros((b, gamma, vocab), jnp.float32)
+        cand, pd, d_cache, _ = jax.lax.fori_loop(
+            0, gamma, draft_step, (cand, pd, d_cache, last)
+        )
+
+        # --- target: one ragged verify window per sequence
+        window = jnp.concatenate([last, cand], axis=1)  # [B, gamma+1]
+        t_logits, t_cache = llama_forward_window_ragged(
+            target_params, window, t_cache, base_pos, cfg_t
+        )
+
+        if greedy:
+            t_pred = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)
+            agree = cand == t_pred[:, :gamma]
+            n_accept = jnp.argmin(
+                jnp.concatenate([agree, jnp.zeros((b, 1), bool)], axis=1), axis=1
+            ).astype(jnp.int32)
+            corrected = t_pred[jnp.arange(b), n_accept]
+        else:
+            pt = _warp_probs(t_logits, sc)  # [B, gamma+1, V]
+            keys = jax.random.split(k_acc, b)
+            n_accept, corrected = jax.vmap(speculative_accept)(cand, pd, pt, keys)
+
+        # --- emit per sequence at its own offset (inactive sequences emit 0)
+        active = n_done < max_new_tokens
+        emitted_len = jnp.where(active, n_accept + 1, 0)
+        idx = jnp.arange(gamma + 1)
+        emit = jnp.where(
+            idx[None, :] < n_accept[:, None],
+            jnp.pad(cand, ((0, 0), (0, 1))),
+            corrected[:, None],
+        )  # [B, gamma+1]
+
+        def write_seq(o_row, e_row, start, e_len):
+            def w(i, r):
+                return jax.lax.cond(
+                    i < e_len,
+                    lambda rr: jax.lax.dynamic_update_slice(rr, e_row[i][None], (start + i,)),
+                    lambda rr: rr,
+                    r,
+                )
+            return jax.lax.fori_loop(0, gamma + 1, w, o_row)
+
+        out = jax.vmap(write_seq)(out, emit, n_done, emitted_len)
+        return (
+            out,
+            n_done + emitted_len,
+            t_cache,
+            d_cache,
+            rng,
+            rounds + 1,
+            accepted + jnp.where(active, n_accept, 0),
+        )
+
+    out, n_done, t_cache, d_cache, rng, rounds, accepted = jax.lax.while_loop(
+        cond, body, init
+    )
+    telemetry = {
+        "rounds": rounds,
+        "accepted_per_seq": accepted,
+        "mean_accept_length": jnp.mean(accepted.astype(jnp.float32))
+        / jnp.maximum(rounds.astype(jnp.float32), 1.0),
+    }
+    return out[:, :max_new_tokens], telemetry

@@ -110,3 +110,46 @@ def test_int8_kv_cache_decode_close_to_full_forward():
         params, tokens[:, 6:7], cache2, jnp.asarray([6, 6], jnp.int32), cfg
     )
     np.testing.assert_allclose(np.asarray(logits_r), full[:, 6], rtol=0.05, atol=0.05)
+
+
+def test_ragged_window_forward_matches_per_sequence():
+    """llama_forward_window_ragged at per-sequence offsets == running each
+    sequence alone through llama_forward_window at its own scalar offset
+    (logits AND cache writes)."""
+    from qeft_tpu.models.llama import llama_forward_window, llama_forward_window_ragged
+
+    cfg = LLAMA_PRESETS["tiny"]
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    b, w, max_len = 3, 4, 24
+    pos = np.array([2, 7, 0], np.int32)
+
+    cache = init_kv_cache(cfg, b, max_len, dtype=jnp.float32)
+    # seed each sequence's prefix up to its pos with a private prefill
+    for i in range(b):
+        if pos[i] == 0:
+            continue
+        pre = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, int(pos[i]))))
+        sub = {k: v[:, i : i + 1] for k, v in cache.items()}
+        _, sub = llama_forward_window(params, pre, sub, jnp.int32(0), cfg)
+        cache = {k: v.at[:, i : i + 1].set(sub[k]) for k, v in cache.items()}
+
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(b, w)))
+    rag_logits, rag_cache = llama_forward_window_ragged(
+        params, toks, cache, jnp.asarray(pos), cfg
+    )
+
+    for i in range(b):
+        sub = {k: v[:, i : i + 1] for k, v in cache.items()}
+        ref_logits, ref_cache = llama_forward_window(
+            params, toks[i : i + 1], sub, jnp.int32(int(pos[i])), cfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(rag_logits[i : i + 1]), np.asarray(ref_logits),
+            rtol=2e-4, atol=2e-4,
+        )
+        for k in cache:
+            np.testing.assert_allclose(
+                np.asarray(rag_cache[k][:, i : i + 1]), np.asarray(ref_cache[k]),
+                rtol=2e-4, atol=2e-4,
+            )

@@ -194,3 +194,76 @@ def test_speculative_cache_requirement_documented():
     from qeft_tpu.generate import generate, SampleConfig
     ref, _ = generate(target, prompt, cache, CFG, n, SampleConfig())
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_batched_spec_greedy_equals_per_sequence_greedy():
+    """Batched speculative decoding (per-sequence accept/rollback): each row
+    of the batch reproduces that sequence's own greedy decode exactly."""
+    from qeft_tpu.speculative import speculative_generate_batched
+
+    target = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    draft = init_params(CFG, jax.random.PRNGKey(1), dtype=jnp.float32)
+    b, s, n = 3, 5, 10
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(b, s)))
+
+    slack = s + n + 4 + 1
+    t_cache = init_kv_cache(CFG, b, slack, dtype=jnp.float32)
+    d_cache = init_kv_cache(CFG, b, slack, dtype=jnp.float32)
+    out, tel = speculative_generate_batched(
+        target, draft, prompt, t_cache, d_cache, CFG, CFG, n,
+        jax.random.PRNGKey(2), gamma=4, greedy=True,
+    )
+    out = np.asarray(out)
+
+    for i in range(b):
+        cache = init_kv_cache(CFG, 1, slack, dtype=jnp.float32)
+        ref, _ = generate(
+            target, prompt[i : i + 1], cache, CFG, n, SampleConfig(greedy=True)
+        )
+        np.testing.assert_array_equal(out[i], np.asarray(ref)[0])
+    assert int(np.asarray(tel["rounds"])) <= n  # drafting actually helped
+
+
+def test_batched_spec_sampled_matches_target_marginals():
+    """Sampled batched spec: per-position marginals of every batch row match
+    target-only sampling (exact-distribution rule applied per sequence)."""
+    import dataclasses
+
+    from qeft_tpu.speculative import speculative_generate_batched
+
+    cfg = dataclasses.replace(
+        CFG, vocab_size=32, hidden_size=64, intermediate_size=128,
+        num_heads=2, num_kv_heads=2, head_dim=32,
+    )
+    target = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    draft = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    b = 2
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, 32, size=(b, 6)))
+    sc = SampleConfig(greedy=False, temperature=1.0)
+    n_trials = 800
+
+    def spec(key):
+        t_cache = init_kv_cache(cfg, b, 32, dtype=jnp.float32)
+        d_cache = init_kv_cache(cfg, b, 32, dtype=jnp.float32)
+        out, _ = speculative_generate_batched(
+            target, draft, prompt, t_cache, d_cache, cfg, cfg, 4, key,
+            gamma=2, sc=sc,
+        )
+        return out  # [B, 4]
+
+    def tgt(key):
+        cache = init_kv_cache(cfg, b, 32, dtype=jnp.float32)
+        out, _ = generate(target, prompt, cache, cfg, 4, sc, rng=key)
+        return out
+
+    keys = jax.random.split(jax.random.PRNGKey(3), n_trials)
+    spec_toks = np.asarray(jax.lax.map(spec, keys))  # [T, B, 4]
+    tgt_toks = np.asarray(jax.lax.map(tgt, keys))
+    for bi in range(b):
+        for pos in range(4):
+            emp_s = np.bincount(spec_toks[:, bi, pos], minlength=32) / n_trials
+            emp_t = np.bincount(tgt_toks[:, bi, pos], minlength=32) / n_trials
+            tv = 0.5 * np.abs(emp_s - emp_t).sum()
+            assert tv < 0.12, (bi, pos, tv)
