@@ -23,7 +23,6 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from qeft_tpu.models.llama import LlamaConfig
 from qeft_tpu.ops.packing import QLinearParams
 
 _SEP = "::"

@@ -62,6 +62,16 @@ LLAMA_PRESETS: Dict[str, LlamaConfig] = {
         hidden_size=8192, intermediate_size=28672, num_layers=80, num_heads=64,
         num_kv_heads=8,
     ),
+    "llama3-8b": LlamaConfig(
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8,
+        max_position_embeddings=8192, rope_theta=500000.0,
+    ),
+    "llama3-70b": LlamaConfig(
+        vocab_size=128256, hidden_size=8192, intermediate_size=28672,
+        num_layers=80, num_heads=64, num_kv_heads=8,
+        max_position_embeddings=8192, rope_theta=500000.0,
+    ),
     "tiny": LlamaConfig(
         vocab_size=256, hidden_size=256, intermediate_size=512, num_layers=2,
         num_heads=4, num_kv_heads=2, head_dim=64, max_position_embeddings=256,

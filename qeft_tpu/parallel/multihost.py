@@ -23,7 +23,7 @@ batch shards — run by tests/test_multihost.py.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
