@@ -9,6 +9,10 @@ native:
 bench:
 	python bench.py
 
+# full 7B on-device pipeline -> real packed checkpoint -> reload -> benchmark
+quant7b:
+	bash scripts/quant7b.sh
+
 # hermetic end-to-end CLI workflow on CPU (see .claude/skills/verify)
 verify-cli:
 	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.extract_outidx \

@@ -28,13 +28,15 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--method", type=str, default="qeft",
-                        choices=["fp", "qeft", "qeft-x", "spec"])
+                        choices=["fp", "qeft", "qeft-x", "spec", "spec-batch"])
     parser.add_argument("--model", type=str, default="llama2-7b")
     parser.add_argument("--draft_model", type=str, default="tiny-v2")
     parser.add_argument("--load", type=str, default="")
     parser.add_argument("--context", type=int, default=64)
     parser.add_argument("--gen", type=int, default=256)
     parser.add_argument("--gamma", type=int, default=4)
+    parser.add_argument("--batch", type=int, default=4,
+                        help="sequences for --method spec-batch")
     parser.add_argument("--sample", action="store_true",
                         help="sampling instead of greedy (spec: speculative "
                              "sampling with exact target distribution)")
@@ -77,26 +79,38 @@ def main(argv=None):
         params = build_packed_model(cfg, key, fuse_stages=args.fuse_stages)
     params = jax.device_put(params)
 
-    prompt = jax.random.randint(key, (1, args.context), 0, cfg.vocab_size, jnp.int32)
+    bsz = args.batch if args.method == "spec-batch" else 1
+    prompt = jax.random.randint(key, (bsz, args.context), 0, cfg.vocab_size, jnp.int32)
     # speculative rounds write up to gamma+1 positions past the accepted point
-    max_len = args.context + args.gen + (args.gamma + 1 if args.method == "spec" else 0)
-    cache = init_kv_cache(cfg, 1, max_len, dtype=jnp.bfloat16)
+    max_len = args.context + args.gen + (
+        args.gamma + 1 if args.method in ("spec", "spec-batch") else 0
+    )
+    cache = init_kv_cache(cfg, bsz, max_len, dtype=jnp.bfloat16)
 
     sc = SampleConfig(
         greedy=not args.sample, temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p,
     )
-    if args.method == "spec":
+    if args.method in ("spec", "spec-batch"):
         from qeft_tpu.speculative import (
             speculative_generate,
+            speculative_generate_batched,
             speculative_generate_sampled,
         )
 
         dcfg = LLAMA_PRESETS[args.draft_model]
         draft = init_params(dcfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
-        d_cache = init_kv_cache(dcfg, 1, max_len, dtype=jnp.bfloat16)
+        d_cache = init_kv_cache(dcfg, bsz, max_len, dtype=jnp.bfloat16)
 
         def run():
+            if args.method == "spec-batch":
+                out, telem = speculative_generate_batched(
+                    params, draft, prompt, cache, d_cache, cfg, dcfg,
+                    args.gen, jax.random.PRNGKey(args.seed),
+                    gamma=args.gamma, sc=sc, greedy=not args.sample,
+                )
+                np.asarray(out)
+                return telem
             if args.sample:
                 out, telem = speculative_generate_sampled(
                     params, draft, prompt, cache, d_cache, cfg, dcfg,
@@ -131,6 +145,9 @@ def main(argv=None):
         "context": args.context,
         "gen": args.gen,
     }
+    if args.method == "spec-batch":
+        result["batch"] = bsz
+        result["seq_tokens_per_s"] = round(bsz * args.gen / best, 2)
     if telem is not None:
         result["mean_accept_length"] = round(float(telem["mean_accept_length"]), 3)
         result["rounds"] = int(telem["rounds"])
