@@ -101,6 +101,9 @@ class Engine:
         self.cur_token = np.zeros((max_batch, 1), np.int32)
         self.queue: List[Request] = []
         self.finished: List[Request] = []
+        # slots retire when pos crosses max_len - slack (spec ticks scribble
+        # up to gamma tokens past the accepted point)
+        self._retire_slack = 1
 
     def submit(self, req: Request):
         self.queue.append(req)
@@ -132,7 +135,7 @@ class Engine:
             return
         if (
             len(req.output) >= req.max_new_tokens
-            or self.pos[slot] >= self.max_len - 1  # cache slot exhausted
+            or self.pos[slot] >= self.max_len - self._retire_slack  # slot exhausted
             or (self.eos_id is not None and req.output and req.output[-1] == self.eos_id)
         ):
             req.done = True
@@ -170,3 +173,160 @@ class Engine:
             if not progressed and not self.queue:
                 break
         return self.finished
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg_t", "cfg_d", "gamma", "sc", "greedy"),
+    donate_argnames=("t_cache", "d_cache"),
+)
+def _spec_tick(
+    params_t, params_d, tokens, t_cache, d_cache, pos,
+    cfg_t: LlamaConfig, cfg_d: LlamaConfig, gamma: int,
+    sc: SampleConfig, greedy: bool, key,
+):
+    """One speculative engine tick over the whole batch: gamma ragged draft
+    steps + one ragged verify window per slot, per-slot accept lengths.
+    Returns (emit [B, gamma+1], emitted_len [B], caches)."""
+    from qeft_tpu.generate import _sample_token  # noqa: F401 (parity import)
+    from qeft_tpu.models.llama import llama_forward_window_ragged
+    from qeft_tpu.speculative import _warp_probs, speculative_accept
+
+    b = tokens.shape[0]
+    vocab = cfg_t.vocab_size
+    k_draft, k_acc = jax.random.split(key)
+
+    def draft_step(i, c):
+        cand, pd, d_cache, cur = c
+        logits, d_cache = llama_decode_step_ragged(
+            params_d, cur, d_cache, pos + i, cfg_d
+        )
+        if greedy:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            probs = jax.nn.one_hot(nxt, vocab, dtype=jnp.float32)
+        else:
+            probs = _warp_probs(logits, sc)
+            nxt = jax.random.categorical(
+                jax.random.fold_in(k_draft, i), jnp.log(probs), axis=-1
+            ).astype(jnp.int32)
+        cand = cand.at[:, i].set(nxt)
+        pd = pd.at[:, i].set(probs)
+        return cand, pd, d_cache, nxt[:, None]
+
+    cand = jnp.zeros((b, gamma), jnp.int32)
+    pd = jnp.zeros((b, gamma, vocab), jnp.float32)
+    cand, pd, d_cache, _ = jax.lax.fori_loop(
+        0, gamma, draft_step, (cand, pd, d_cache, tokens)
+    )
+
+    window = jnp.concatenate([tokens, cand], axis=1)  # [B, gamma+1]
+    t_logits, t_cache = llama_forward_window_ragged(
+        params_t, window, t_cache, pos, cfg_t
+    )
+    if greedy:
+        t_pred = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)
+        agree = cand == t_pred[:, :gamma]
+        n_accept = jnp.argmin(
+            jnp.concatenate([agree, jnp.zeros((b, 1), bool)], axis=1), axis=1
+        ).astype(jnp.int32)
+        corrected = t_pred[jnp.arange(b), n_accept]
+    else:
+        pt = _warp_probs(t_logits, sc)
+        keys = jax.random.split(k_acc, b)
+        n_accept, corrected = jax.vmap(speculative_accept)(cand, pd, pt, keys)
+
+    idx = jnp.arange(gamma + 1)
+    emit = jnp.where(
+        idx[None, :] < n_accept[:, None],
+        jnp.pad(cand, ((0, 0), (0, 1))),
+        corrected[:, None],
+    )
+    return emit, n_accept + 1, t_cache, d_cache
+
+
+class SpecEngine(Engine):
+    """Continuous batching WITH speculative decoding: every tick drafts gamma
+    tokens per active slot (small model, ragged positions), verifies them in
+    one target window, and advances each slot by its own accept length.
+    Neither the reference nor HF assisted decoding can batch (batch==1,
+    ftllama_generate.py:357); combining spec with slot admission/retirement
+    is the modern serving configuration (vLLM-style).
+
+    Cache slack: slots may be scribbled up to gamma tokens past a sequence's
+    accepted length, so ``max_len`` needs prompt + max_new + gamma + 1 slots.
+    """
+
+    def __init__(
+        self,
+        params: Dict,
+        cfg: LlamaConfig,
+        draft_params: Dict,
+        draft_cfg: LlamaConfig,
+        gamma: int = 4,
+        **kw,
+    ):
+        super().__init__(params, cfg, **kw)
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.gamma = gamma
+        self.d_cache = init_kv_cache(
+            draft_cfg, self.max_batch, self.max_len,
+            dtype=self.cache["k"].dtype if "k_scale" not in self.cache
+            else jnp.bfloat16,
+        )
+        self.accepted_total = 0
+        self.rounds_total = 0
+        self._retire_slack = gamma + 2
+
+    def _admit(self):
+        for slot in range(self.max_batch):
+            if self.slots[slot] is None and self.queue:
+                req = self.queue.pop(0)
+                prompt = jnp.asarray(req.prompt[None, :])
+                last_logits, self.cache = _prefill_into_slot(
+                    self.params, prompt, self.cache, jnp.int32(slot), self.cfg
+                )
+                _, self.d_cache = _prefill_into_slot(
+                    self.draft_params, prompt, self.d_cache, jnp.int32(slot),
+                    self.draft_cfg,
+                )
+                first = int(np.asarray(_sample_token(
+                    last_logits, self._next_key(), self.sc
+                ))[0])
+                req.output.append(first)
+                self.slots[slot] = req
+                self.pos[slot] = len(req.prompt)
+                self.cur_token[slot, 0] = first
+                self._maybe_finish(slot)
+
+    def step(self):
+        self._admit()
+        active = [i for i, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return False
+        emit, elen, self.cache, self.d_cache = _spec_tick(
+            self.params, self.draft_params, jnp.asarray(self.cur_token),
+            self.cache, self.d_cache, jnp.asarray(self.pos),
+            self.cfg, self.draft_cfg, self.gamma, self.sc, self.sc.greedy,
+            self._next_key(),
+        )
+        emit, elen = np.asarray(emit), np.asarray(elen)
+        self.rounds_total += 1
+        for slot in active:
+            req = self.slots[slot]
+            kept = 0
+            for i in range(int(elen[slot])):
+                if len(req.output) >= req.max_new_tokens:
+                    break
+                tok = int(emit[slot, i])
+                req.output.append(tok)
+                kept += 1
+                if self.eos_id is not None and tok == self.eos_id:
+                    break
+            self.accepted_total += max(int(elen[slot]) - 1, 0)
+            # positional rollback: pos advances only by what was kept; stale
+            # cache entries beyond are overwritten just-in-time next round
+            self.pos[slot] += kept
+            self.cur_token[slot, 0] = req.output[-1]
+            self._maybe_finish(slot)
+        return True

@@ -140,3 +140,34 @@ def test_engine_sampling_mode():
     for r in done:
         assert len(r.output) == 6
         assert all(0 <= t < CFG.vocab_size for t in r.output)
+
+
+def test_spec_engine_matches_plain_engine_greedy():
+    """Continuous batching + speculative decoding: the SpecEngine's greedy
+    outputs equal the plain engine's greedy outputs request-for-request
+    (per-slot accept lengths, positional rollback in-slot)."""
+    from qeft_tpu.serving import SpecEngine
+
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    draft = init_params(CFG, jax.random.PRNGKey(1), dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, CFG.vocab_size, size=(rng.integers(3, 7),))
+               for _ in range(5)]
+
+    plain = Engine(params, CFG, max_batch=2, max_len=40, cache_dtype=jnp.float32)
+    for i, p in enumerate(prompts):
+        plain.submit(Request(i, p, 8))
+    ref = {r.request_id: r.output for r in plain.run()}
+
+    spec = SpecEngine(
+        params, CFG, draft, CFG, gamma=3,
+        max_batch=2, max_len=40, cache_dtype=jnp.float32,
+    )
+    for i, p in enumerate(prompts):
+        spec.submit(Request(i, p, 8))
+    got = {r.request_id: r.output for r in spec.run()}
+
+    assert set(got) == set(ref)
+    for rid in ref:
+        assert got[rid] == ref[rid], (rid, got[rid], ref[rid])
+    assert spec.rounds_total > 0
