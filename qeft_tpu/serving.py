@@ -40,9 +40,10 @@ class Request:
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def _prefill_into_slot(params, prompt, cache, slot, cfg: LlamaConfig):
-    """Prefill ONE request directly into batch slot ``slot`` of the FULL
-    cache.  ``slot`` is traced (one compilation serves every slot) and the
+def _prefill_window_into_slot(params, window, cache, slot, pos, cfg: LlamaConfig):
+    """Prefill a WINDOW of one request directly into batch slot ``slot`` of
+    the FULL cache at offset ``pos``.  ``slot`` and ``pos`` are traced (one
+    compilation serves every slot/offset for a given window width) and the
     cache is DONATED, so XLA aliases the buffers and the admission cost is
     the slot write — independent of L x B x S (VERDICT round-1 weak #5
     replaced a whole-cache `.at[].set` rebuild per admission)."""
@@ -53,13 +54,35 @@ def _prefill_into_slot(params, prompt, cache, slot, cfg: LlamaConfig):
         for name, leaf in cache.items()
     }
     logits, new_slot = llama_forward_window(
-        params, prompt, slot_cache, jnp.int32(0), cfg
+        params, window, slot_cache, pos, cfg
     )
     cache = {
         name: jax.lax.dynamic_update_slice_in_dim(leaf, new_slot[name], slot, axis=1)
         for name, leaf in cache.items()
     }
     return logits[:, -1, :], cache
+
+
+def _prefill_into_slot(params, prompt, cache, slot, cfg: LlamaConfig,
+                       chunk: int = 0):
+    """Slot prefill, optionally CHUNKED: with ``chunk`` set, the prompt runs
+    through the cache in fixed-width windows so prefill activation memory is
+    bounded by the chunk, not the prompt (long-prompt admission never spikes
+    the engine's footprint).  Last ragged piece pads on the LEFT of the next
+    boundary — simpler: it just runs at its natural (smaller) width, costing
+    at most one extra compile per distinct tail width."""
+    s = prompt.shape[1]
+    if not chunk or s <= chunk:
+        return _prefill_window_into_slot(
+            params, prompt, cache, slot, jnp.int32(0), cfg
+        )
+    last = None
+    for start in range(0, s, chunk):
+        piece = prompt[:, start : start + chunk]
+        last, cache = _prefill_window_into_slot(
+            params, piece, cache, slot, jnp.int32(start), cfg
+        )
+    return last, cache
 
 
 @partial(jax.jit, static_argnames=("cfg", "sc"), donate_argnames=("cache",))
@@ -87,6 +110,7 @@ class Engine:
         cache_dtype=jnp.bfloat16,
         sample_config: SampleConfig = SampleConfig(greedy=True),
         rng_seed: int = 0,
+        prefill_chunk: int = 0,
     ):
         self.params = params
         self.cfg = cfg
@@ -95,6 +119,7 @@ class Engine:
         self.eos_id = eos_id
         self.sc = sample_config
         self.key = jax.random.PRNGKey(rng_seed)
+        self.prefill_chunk = prefill_chunk
         self.cache = init_kv_cache(cfg, max_batch, max_len, dtype=cache_dtype)
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.pos = np.zeros((max_batch,), np.int32)
@@ -118,7 +143,8 @@ class Engine:
                 req = self.queue.pop(0)
                 prompt = jnp.asarray(req.prompt[None, :])
                 last_logits, self.cache = _prefill_into_slot(
-                    self.params, prompt, self.cache, jnp.int32(slot), self.cfg
+                    self.params, prompt, self.cache, jnp.int32(slot), self.cfg,
+                    chunk=self.prefill_chunk,
                 )
                 first = int(np.asarray(_sample_token(
                     last_logits, self._next_key(), self.sc
@@ -284,11 +310,12 @@ class SpecEngine(Engine):
                 req = self.queue.pop(0)
                 prompt = jnp.asarray(req.prompt[None, :])
                 last_logits, self.cache = _prefill_into_slot(
-                    self.params, prompt, self.cache, jnp.int32(slot), self.cfg
+                    self.params, prompt, self.cache, jnp.int32(slot), self.cfg,
+                    chunk=self.prefill_chunk,
                 )
                 _, self.d_cache = _prefill_into_slot(
                     self.draft_params, prompt, self.d_cache, jnp.int32(slot),
-                    self.draft_cfg,
+                    self.draft_cfg, chunk=self.prefill_chunk,
                 )
                 first = int(np.asarray(_sample_token(
                     last_logits, self._next_key(), self.sc

@@ -171,3 +171,20 @@ def test_spec_engine_matches_plain_engine_greedy():
     for rid in ref:
         assert got[rid] == ref[rid], (rid, got[rid], ref[rid])
     assert spec.rounds_total > 0
+
+
+def test_chunked_prefill_equals_whole_prefill():
+    """prefill_chunk bounds admission memory; outputs must be identical."""
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, CFG.vocab_size, size=(11,)),
+               rng.integers(0, CFG.vocab_size, size=(4,))]
+
+    def run(chunk):
+        eng = Engine(params, CFG, max_batch=2, max_len=32,
+                     cache_dtype=jnp.float32, prefill_chunk=chunk)
+        for i, p in enumerate(prompts):
+            eng.submit(Request(i, p, 6))
+        return {r.request_id: r.output for r in eng.run()}
+
+    assert run(0) == run(4)
