@@ -35,6 +35,9 @@ def main():
     parser.add_argument("--load", type=str, default="")
     parser.add_argument("--fake", action="store_true")
     parser.add_argument("--packing", action="store_true")
+    parser.add_argument("--fuse_stages", action="store_true",
+                        help="pack q/k/v->qkv and up/gate->upgate as single "
+                             "linears (fewer, larger kernels; needs --reorder)")
     parser.add_argument("--eval", action="store_true", help="PPL eval after quantize/load")
     parser.add_argument("--eval_datasets", type=str, default="",
                         help="comma list for the post-quantization PPL sweep "
@@ -104,7 +107,9 @@ def main():
         if args.packing:
             from qeft_tpu.pipeline import pack_model
 
-            packed = pack_model(params, quantizers, cfg, meta)
+            packed = pack_model(
+                params, quantizers, cfg, meta, fuse_stages=args.fuse_stages
+            )
             save_packed(args.save + "_packed", packed, cfg, family=meta.family)
             print(f"packed ckpt -> {args.save}_packed.npz")
 
