@@ -145,3 +145,109 @@ def llama_prefill_sp(
                                          "v": P(None, None, None, "sp", None)}),
         check_vma=False,
     )(params, tokens)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def llama_decode_step_sp(
+    params: Dict, tokens: jax.Array, cache: Dict, pos: jax.Array,
+    cfg: LlamaConfig, mesh: Mesh,
+) -> Tuple[jax.Array, Dict]:
+    """Single-token decode with the KV cache SHARDED over ``sp`` (cache
+    leaves [L, B, H_kv, S_max, Dh] split on the S_max axis): each device
+    computes flash attention over its local cache slab and the partial
+    (max, denom, acc) triples combine exactly with one psum round — the
+    long-context decode where no chip holds the whole cache (SURVEY §5
+    long-context: "sharded KV + blockwise decode attention over ICI").
+
+    The new token's K/V is written by the shard that owns position ``pos``.
+    tokens: [B, 1]; pos scalar int32.  Returns (logits [B, V], new cache).
+    """
+    n_sp = mesh.shape["sp"]
+    b = tokens.shape[0]
+    s_total = cache["k"].shape[3]
+    assert s_total % n_sp == 0
+    s_loc = s_total // n_sp
+
+    def shard(params_l, toks, cache_l, pos_):
+        p = jax.lax.axis_index("sp")
+        lo = p * s_loc  # this shard owns global positions [lo, lo + s_loc)
+        x = _embed(params_l, toks, cfg)
+        cos, sin = rope_tables(cfg, (pos_ + jnp.zeros((1, 1), jnp.int32)))
+        hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        rep = hq // hkv
+        dtype = x.dtype
+
+        def body(xc, inp):
+            blk, c = inp
+            kc, vc = c["k"], c["v"]  # [B, H_kv, s_loc, Dh]
+            h = rms_norm(xc, blk["input_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
+            if "qkv" in blk:
+                qkv = apply_linear(blk["qkv"], h, dtype)
+                q = qkv[..., : hq * dh].reshape(b, 1, hq, dh)
+                k = qkv[..., hq * dh : (hq + hkv) * dh].reshape(b, 1, hkv, dh)
+                v = qkv[..., (hq + hkv) * dh :].reshape(b, 1, hkv, dh)
+            else:
+                q = apply_linear(blk["q"], h, dtype).reshape(b, 1, hq, dh)
+                k = apply_linear(blk["k"], h, dtype).reshape(b, 1, hkv, dh)
+                v = apply_linear(blk["v"], h, dtype).reshape(b, 1, hkv, dh)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            kh = k.transpose(0, 2, 1, 3)  # [B, H_kv, 1, Dh]
+            vh = v.transpose(0, 2, 1, 3)
+
+            # owner shard writes the new K/V at its local offset
+            owns = (pos_ >= lo) & (pos_ < lo + s_loc)
+            loc = jnp.clip(pos_ - lo, 0, s_loc - 1)
+
+            def wr(cl, new):
+                upd = jax.lax.dynamic_update_slice(cl, new.astype(cl.dtype),
+                                                   (0, 0, loc, 0))
+                return jnp.where(owns, upd, cl)
+
+            kc, vc = wr(kc, kh), wr(vc, vh)
+
+            # local flash partial over the shard's slab
+            qf = q.transpose(0, 2, 1, 3).astype(jnp.float32) * dh ** -0.5
+            kr = jnp.repeat(kc.astype(jnp.float32), rep, axis=1)
+            vr = jnp.repeat(vc.astype(jnp.float32), rep, axis=1)
+            s = jnp.einsum("bhqd,bhkd->bhqk", qf, kr)  # [B, Hq, 1, s_loc]
+            valid = (lo + jnp.arange(s_loc)) <= pos_
+            s = jnp.where(valid[None, None, None, :], s, _NEG)
+            m_loc = s.max(axis=-1)  # [B, Hq, 1]
+            # one psum round combines the shard partials exactly
+            m_glob = jax.lax.pmax(m_loc, "sp")
+            pexp = jnp.exp(s - m_glob[..., None])
+            denom = jax.lax.psum(pexp.sum(axis=-1), "sp")
+            acc = jax.lax.psum(
+                jnp.einsum("bhqk,bhkd->bhqd", pexp, vr), "sp"
+            )
+            ctx = (acc / jnp.maximum(denom, 1e-30)[..., None]).astype(dtype)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, hq * dh)
+            o_in = ctx
+            if "o_reorder" in blk:
+                o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
+            xc = xc + apply_linear(blk["o"], o_in, dtype)
+            h2 = rms_norm(xc, blk["post_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
+            if "upgate" in blk:
+                ug = apply_linear(blk["upgate"], h2, dtype)
+                f = ug.shape[-1] // 2
+                up, gate = ug[..., :f], ug[..., f:]
+            else:
+                up = apply_linear(blk["up"], h2, dtype)
+                gate = apply_linear(blk["gate"], h2, dtype)
+            xc = xc + apply_linear(blk["down"], _act(gate, cfg.act) * up, dtype)
+            return xc, {"k": kc, "v": vc}
+
+        x, new_cache = jax.lax.scan(body, x, (params_l["layers"], cache_l))
+        x = rms_norm(x, params_l["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        logits = apply_linear(params_l["lm_head"], x, x.dtype)
+        return logits[:, 0, :], new_cache
+
+    p_specs = jax.tree.map(lambda _: P(), params)
+    c_spec = jax.tree.map(lambda _: P(None, None, None, "sp", None), cache)
+    return jax.shard_map(
+        shard, mesh=mesh,
+        in_specs=(p_specs, P(), c_spec, P()),
+        out_specs=(P(), c_spec),
+        check_vma=False,
+    )(params, tokens, cache, pos)

@@ -101,3 +101,38 @@ def test_sp_prefill_gqa_and_packed():
         np.asarray(sp_logits, np.float32), np.asarray(ref_logits, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_sp_decode_sharded_cache_matches_single_device():
+    """Decode over an sp-sharded KV cache (flash partials + one psum round)
+    equals single-device decode, including owner-shard cache writes."""
+    from qeft_tpu.parallel.sp import llama_decode_step_sp
+
+    n_sp = 2
+    mesh = _mesh(n_sp)
+    params = init_params(CFG, jax.random.PRNGKey(4), dtype=jnp.float32)
+    b, s = 2, 7
+    rng = np.random.default_rng(4)
+    prompt = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(b, s)))
+
+    cache = init_kv_cache(CFG, b, 16, dtype=jnp.float32)
+    _, cache = llama_prefill(params, prompt, cache, CFG)
+    cache_ref = jax.tree.map(jnp.copy, cache)
+
+    tok = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(b, 1)))
+    # cross the shard boundary (s_loc = 8): positions 7, 8, 9
+    for step in range(3):
+        pos = jnp.int32(s + step)
+        ref_logits, cache_ref = llama_decode_step(params, tok, cache_ref, pos, CFG)
+        sp_logits, cache = llama_decode_step_sp(params, tok, cache, pos, CFG, mesh)
+        np.testing.assert_allclose(
+            np.asarray(sp_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+        )
+        tok = jnp.argmax(sp_logits, axis=-1).astype(jnp.int32)[:, None]
+
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4
+        ),
+        cache, cache_ref,
+    )
