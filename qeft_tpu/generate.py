@@ -28,9 +28,13 @@ class SampleConfig:
     top_p: float = 1.0  # 1.0 = no nucleus filtering
 
 
-def _sample_token(logits: jax.Array, key: jax.Array, sc: SampleConfig) -> jax.Array:
-    if sc.greedy:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+def warp_logits(logits: jax.Array, sc: SampleConfig) -> jax.Array:
+    """The temperature/top-k/top-p logits-warper stack (HF semantics).
+
+    SINGLE definition shared by plain sampling and both sides of speculative
+    sampling — the spec accept/resample rule emits exactly the target
+    distribution only because draft, target, and sampler all warp through
+    this same function."""
     logits = logits.astype(jnp.float32) / sc.temperature
     if sc.top_k > 0:
         kth = jnp.sort(logits, axis=-1)[..., -sc.top_k][..., None]
@@ -46,7 +50,13 @@ def _sample_token(logits: jax.Array, key: jax.Array, sc: SampleConfig) -> jax.Ar
         n_keep = jnp.maximum(keep.sum(axis=-1, keepdims=True), 1)
         cutoff = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return logits
+
+
+def _sample_token(logits: jax.Array, key: jax.Array, sc: SampleConfig) -> jax.Array:
+    if sc.greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(key, warp_logits(logits, sc), axis=-1).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "sc", "api",
@@ -76,7 +86,8 @@ def generate(
         api = get_model_api("llama")
 
     logits, cache = api.prefill(params, prompt, cache, cfg)
-    first = _sample_token(logits[:, -1, :], rng, sc)
+    rng, k0 = jax.random.split(rng)  # never reuse a consumed key as loop root
+    first = _sample_token(logits[:, -1, :], k0, sc)
 
     fill = 0 if eos_id is None else eos_id
     out_tokens = jnp.full((b, max_new_tokens), fill, jnp.int32)

@@ -88,7 +88,12 @@ def pp_decode_step(
     """
     n_pp = mesh.shape["pp"]
     b = tokens.shape[0]
-    m_count = n_microbatches or min(n_pp, b)
+    if not n_microbatches:
+        # largest divisor of b that is <= the stage count (n_pp itself when
+        # it divides b): the minimum count that keeps every stage busy
+        m_count = max(m for m in range(1, min(n_pp, b) + 1) if b % m == 0)
+    else:
+        m_count = n_microbatches
     assert b % m_count == 0, (b, m_count)
     mb = b // m_count
     assert cfg.num_layers % n_pp == 0, (cfg.num_layers, n_pp)
@@ -143,12 +148,20 @@ def pp_decode_step(
                 ),
                 cache_c, c_mb_new, c_mb,
             )
-            # last stage: project to logits and accumulate
-            h = rms_norm(x_out, params_l["final_ln"], cfg.rms_norm_eps,
-                         cfg.rms_one_offset)
-            lg = apply_linear(params_l["lm_head"], h, h.dtype)
-            lg = lg[:, 0, :].astype(jnp.float32)
+            # last stage only: project to logits and accumulate (lax.cond on
+            # the per-device axis_index keeps the vocab-sized lm_head matmul
+            # — roughly a layer's worth of FLOPs — off the other stages)
+            def project(_):
+                h = rms_norm(x_out, params_l["final_ln"], cfg.rms_norm_eps,
+                             cfg.rms_one_offset)
+                lg = apply_linear(params_l["lm_head"], h, h.dtype)
+                return lg[:, 0, :].astype(jnp.float32)
+
             take = active & (p == n_pp - 1)
+            lg = jax.lax.cond(
+                take, project, lambda _: jnp.zeros((mb, vocab), jnp.float32),
+                None,
+            )
             logits_acc = jax.lax.dynamic_update_slice_in_dim(
                 logits_acc,
                 jnp.where(

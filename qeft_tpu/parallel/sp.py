@@ -179,7 +179,6 @@ def llama_decode_step_sp(
 
         def body(xc, inp):
             blk, c = inp
-            kc, vc = c["k"], c["v"]  # [B, H_kv, s_loc, Dh]
             h = rms_norm(xc, blk["input_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
             if "qkv" in blk:
                 qkv = apply_linear(blk["qkv"], h, dtype)
@@ -200,16 +199,31 @@ def llama_decode_step_sp(
             loc = jnp.clip(pos_ - lo, 0, s_loc - 1)
 
             def wr(cl, new):
-                upd = jax.lax.dynamic_update_slice(cl, new.astype(cl.dtype),
-                                                   (0, 0, loc, 0))
+                upd = jax.lax.dynamic_update_slice(
+                    cl, new.astype(cl.dtype), (0, 0, loc, 0)[: cl.ndim]
+                )
                 return jnp.where(owns, upd, cl)
 
-            kc, vc = wr(kc, kh), wr(vc, vh)
+            if "k_scale" in c:  # quantized (int8) KV slab: codes + scales
+                from qeft_tpu.models.llama import _kv_dequantize, _kv_quantize
+
+                kq, ksn = _kv_quantize(kh)
+                vq, vsn = _kv_quantize(vh)
+                kc, vc = wr(c["k"], kq), wr(c["v"], vq)
+                ksc, vsc = wr(c["k_scale"], ksn), wr(c["v_scale"], vsn)
+                k_read = _kv_dequantize(kc, ksc, dtype)
+                v_read = _kv_dequantize(vc, vsc, dtype)
+                new_c = {"k": kc, "v": vc, "k_scale": ksc, "v_scale": vsc}
+            else:
+                kc = wr(c["k"], kh)
+                vc = wr(c["v"], vh)
+                k_read, v_read = kc, vc
+                new_c = {"k": kc, "v": vc}
 
             # local flash partial over the shard's slab
             qf = q.transpose(0, 2, 1, 3).astype(jnp.float32) * dh ** -0.5
-            kr = jnp.repeat(kc.astype(jnp.float32), rep, axis=1)
-            vr = jnp.repeat(vc.astype(jnp.float32), rep, axis=1)
+            kr = jnp.repeat(k_read.astype(jnp.float32), rep, axis=1)
+            vr = jnp.repeat(v_read.astype(jnp.float32), rep, axis=1)
             s = jnp.einsum("bhqd,bhkd->bhqk", qf, kr)  # [B, Hq, 1, s_loc]
             valid = (lo + jnp.arange(s_loc)) <= pos_
             s = jnp.where(valid[None, None, None, :], s, _NEG)
@@ -236,7 +250,7 @@ def llama_decode_step_sp(
                 up = apply_linear(blk["up"], h2, dtype)
                 gate = apply_linear(blk["gate"], h2, dtype)
             xc = xc + apply_linear(blk["down"], _act(gate, cfg.act) * up, dtype)
-            return xc, {"k": kc, "v": vc}
+            return xc, new_c
 
         x, new_cache = jax.lax.scan(body, x, (params_l["layers"], cache_l))
         x = rms_norm(x, params_l["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
@@ -244,7 +258,12 @@ def llama_decode_step_sp(
         return logits[:, 0, :], new_cache
 
     p_specs = jax.tree.map(lambda _: P(), params)
-    c_spec = jax.tree.map(lambda _: P(None, None, None, "sp", None), cache)
+    # cache leaves shard on their S axis (axis 3); int8 scale planes are
+    # rank-4 ([L, B, H, S]) so the spec is built per-leaf by rank
+    c_spec = jax.tree.map(
+        lambda leaf: P(*([None] * 3 + ["sp"] + [None] * (leaf.ndim - 4))),
+        cache,
+    )
     return jax.shard_map(
         shard, mesh=mesh,
         in_specs=(p_specs, P(), c_spec, P()),

@@ -131,21 +131,33 @@ class Engine:
         self._retire_slack = 1
 
     def submit(self, req: Request):
+        if len(req.prompt) + 1 > self.max_len - self._retire_slack:
+            raise ValueError(
+                f"prompt of {len(req.prompt)} tokens cannot fit a "
+                f"max_len={self.max_len} cache (retire slack "
+                f"{self._retire_slack}); raise max_len or truncate"
+            )
         self.queue.append(req)
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _prefill_request(self, req: Request, slot: int):
+        """Prefill one admitted request into its slot; returns last-position
+        logits.  SpecEngine extends this with the draft-cache prefill."""
+        prompt = jnp.asarray(req.prompt[None, :])
+        last_logits, self.cache = _prefill_into_slot(
+            self.params, prompt, self.cache, jnp.int32(slot), self.cfg,
+            chunk=self.prefill_chunk,
+        )
+        return last_logits
+
     def _admit(self):
         for slot in range(self.max_batch):
             if self.slots[slot] is None and self.queue:
                 req = self.queue.pop(0)
-                prompt = jnp.asarray(req.prompt[None, :])
-                last_logits, self.cache = _prefill_into_slot(
-                    self.params, prompt, self.cache, jnp.int32(slot), self.cfg,
-                    chunk=self.prefill_chunk,
-                )
+                last_logits = self._prefill_request(req, slot)
                 first = int(np.asarray(_sample_token(
                     last_logits, self._next_key(), self.sc
                 ))[0])
@@ -211,61 +223,15 @@ def _spec_tick(
     cfg_t: LlamaConfig, cfg_d: LlamaConfig, gamma: int,
     sc: SampleConfig, greedy: bool, key,
 ):
-    """One speculative engine tick over the whole batch: gamma ragged draft
-    steps + one ragged verify window per slot, per-slot accept lengths.
+    """One speculative engine tick over the whole batch: delegates to the
+    ONE shared round definition (speculative.spec_round) so the engine and
+    the standalone batched generator cannot diverge.
     Returns (emit [B, gamma+1], emitted_len [B], caches)."""
-    from qeft_tpu.generate import _sample_token  # noqa: F401 (parity import)
-    from qeft_tpu.models.llama import llama_forward_window_ragged
-    from qeft_tpu.speculative import _warp_probs, speculative_accept
+    from qeft_tpu.speculative import spec_round
 
-    b = tokens.shape[0]
-    vocab = cfg_t.vocab_size
-    k_draft, k_acc = jax.random.split(key)
-
-    def draft_step(i, c):
-        cand, pd, d_cache, cur = c
-        logits, d_cache = llama_decode_step_ragged(
-            params_d, cur, d_cache, pos + i, cfg_d
-        )
-        if greedy:
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            probs = jax.nn.one_hot(nxt, vocab, dtype=jnp.float32)
-        else:
-            probs = _warp_probs(logits, sc)
-            nxt = jax.random.categorical(
-                jax.random.fold_in(k_draft, i), jnp.log(probs), axis=-1
-            ).astype(jnp.int32)
-        cand = cand.at[:, i].set(nxt)
-        pd = pd.at[:, i].set(probs)
-        return cand, pd, d_cache, nxt[:, None]
-
-    cand = jnp.zeros((b, gamma), jnp.int32)
-    pd = jnp.zeros((b, gamma, vocab), jnp.float32)
-    cand, pd, d_cache, _ = jax.lax.fori_loop(
-        0, gamma, draft_step, (cand, pd, d_cache, tokens)
-    )
-
-    window = jnp.concatenate([tokens, cand], axis=1)  # [B, gamma+1]
-    t_logits, t_cache = llama_forward_window_ragged(
-        params_t, window, t_cache, pos, cfg_t
-    )
-    if greedy:
-        t_pred = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)
-        agree = cand == t_pred[:, :gamma]
-        n_accept = jnp.argmin(
-            jnp.concatenate([agree, jnp.zeros((b, 1), bool)], axis=1), axis=1
-        ).astype(jnp.int32)
-        corrected = t_pred[jnp.arange(b), n_accept]
-    else:
-        pt = _warp_probs(t_logits, sc)
-        keys = jax.random.split(k_acc, b)
-        n_accept, corrected = jax.vmap(speculative_accept)(cand, pd, pt, keys)
-
-    idx = jnp.arange(gamma + 1)
-    emit = jnp.where(
-        idx[None, :] < n_accept[:, None],
-        jnp.pad(cand, ((0, 0), (0, 1))),
-        corrected[:, None],
+    emit, n_accept, t_cache, d_cache = spec_round(
+        params_t, params_d, tokens, t_cache, d_cache, pos,
+        cfg_t, cfg_d, gamma, sc, greedy, key,
     )
     return emit, n_accept + 1, t_cache, d_cache
 
@@ -304,27 +270,13 @@ class SpecEngine(Engine):
         self.rounds_total = 0
         self._retire_slack = gamma + 2
 
-    def _admit(self):
-        for slot in range(self.max_batch):
-            if self.slots[slot] is None and self.queue:
-                req = self.queue.pop(0)
-                prompt = jnp.asarray(req.prompt[None, :])
-                last_logits, self.cache = _prefill_into_slot(
-                    self.params, prompt, self.cache, jnp.int32(slot), self.cfg,
-                    chunk=self.prefill_chunk,
-                )
-                _, self.d_cache = _prefill_into_slot(
-                    self.draft_params, prompt, self.d_cache, jnp.int32(slot),
-                    self.draft_cfg, chunk=self.prefill_chunk,
-                )
-                first = int(np.asarray(_sample_token(
-                    last_logits, self._next_key(), self.sc
-                ))[0])
-                req.output.append(first)
-                self.slots[slot] = req
-                self.pos[slot] = len(req.prompt)
-                self.cur_token[slot, 0] = first
-                self._maybe_finish(slot)
+    def _prefill_request(self, req: Request, slot: int):
+        last_logits = super()._prefill_request(req, slot)
+        _, self.d_cache = _prefill_into_slot(
+            self.draft_params, jnp.asarray(req.prompt[None, :]), self.d_cache,
+            jnp.int32(slot), self.draft_cfg, chunk=self.prefill_chunk,
+        )
+        return last_logits
 
     def step(self):
         self._admit()
@@ -350,7 +302,7 @@ class SpecEngine(Engine):
                 kept += 1
                 if self.eos_id is not None and tok == self.eos_id:
                     break
-            self.accepted_total += max(int(elen[slot]) - 1, 0)
+            self.accepted_total += max(kept - 1, 0)
             # positional rollback: pos advances only by what was kept; stale
             # cache entries beyond are overwritten just-in-time next round
             self.pos[slot] += kept

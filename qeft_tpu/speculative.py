@@ -36,24 +36,15 @@ from qeft_tpu.models.llama import (
 
 
 def _warp_probs(logits: jax.Array, sc: SampleConfig) -> jax.Array:
-    """Post-processing distribution both models sample from (temperature +
-    top-k + top-p), matching the reference's logits-warper stack applied
-    before `_speculative_sampling` (ftllama_generate.py:468-474).  Warping
-    draft and target identically preserves the exact-target-distribution
-    guarantee of the accept/resample rule."""
-    logits = logits.astype(jnp.float32) / sc.temperature
-    if sc.top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[..., -sc.top_k][..., None]
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
-    if sc.top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-        p = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(p, axis=-1)
-        keep = cum - p < sc.top_p
-        n_keep = jnp.maximum(keep.sum(axis=-1, keepdims=True), 1)
-        cutoff = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
-        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
-    return jax.nn.softmax(logits, axis=-1)
+    """Post-processing distribution both models sample from, matching the
+    reference's logits-warper stack applied before `_speculative_sampling`
+    (ftllama_generate.py:468-474).  Delegates to generate.warp_logits — the
+    ONE warper definition — so draft, target, and the plain sampler stay
+    identical by construction (the exact-target-distribution guarantee of
+    the accept/resample rule depends on it)."""
+    from qeft_tpu.generate import warp_logits
+
+    return jax.nn.softmax(warp_logits(logits, sc), axis=-1)
 
 
 def speculative_accept(
@@ -318,6 +309,88 @@ def speculative_generate_sampled(
     return out[:, :max_new_tokens], telemetry
 
 
+def spec_round(
+    target_params: Dict,
+    draft_params: Dict,
+    last: jax.Array,  # [B, 1] last emitted token per sequence
+    t_cache: Dict,
+    d_cache: Dict,
+    base_pos: jax.Array,  # [B] absolute position of `last`
+    cfg_t: LlamaConfig,
+    cfg_d: LlamaConfig,
+    gamma: int,
+    sc: SampleConfig,
+    greedy: bool,
+    key: jax.Array,
+):
+    """ONE batched speculative round: gamma ragged draft steps, one ragged
+    target verify window, per-sequence accept/resample.  Shared by
+    `speculative_generate_batched` and the serving engine's `_spec_tick`
+    (single definition — the exactness guarantee must not fork).
+
+    Returns (emit [B, gamma+1], n_accept [B], t_cache, d_cache): sequence b
+    emits emit[b, :n_accept[b]+1].
+    """
+    from qeft_tpu.models.llama import (
+        llama_decode_step_ragged,
+        llama_forward_window_ragged,
+    )
+
+    b = last.shape[0]
+    vocab = cfg_t.vocab_size
+    k_draft, k_acc = jax.random.split(key)
+
+    # --- draft: gamma ragged decode steps (every sequence at its own pos)
+    def draft_step(i, c):
+        cand, pd, d_cache, cur = c
+        logits, d_cache = llama_decode_step_ragged(
+            draft_params, cur, d_cache, base_pos + i, cfg_d
+        )
+        if greedy:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            probs = jax.nn.one_hot(nxt, vocab, dtype=jnp.float32)
+        else:
+            probs = _warp_probs(logits, sc)  # [B, V]
+            nxt = jax.random.categorical(
+                jax.random.fold_in(k_draft, i), jnp.log(probs), axis=-1
+            ).astype(jnp.int32)
+        cand = cand.at[:, i].set(nxt)
+        pd = pd.at[:, i].set(probs)
+        return cand, pd, d_cache, nxt[:, None]
+
+    cand = jnp.zeros((b, gamma), jnp.int32)
+    pd = jnp.zeros((b, gamma, vocab), jnp.float32)
+    cand, pd, d_cache, _ = jax.lax.fori_loop(
+        0, gamma, draft_step, (cand, pd, d_cache, last)
+    )
+
+    # --- target: one ragged verify window per sequence
+    window = jnp.concatenate([last, cand], axis=1)  # [B, gamma+1]
+    t_logits, t_cache = llama_forward_window_ragged(
+        target_params, window, t_cache, base_pos, cfg_t
+    )
+
+    if greedy:
+        t_pred = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)
+        agree = cand == t_pred[:, :gamma]
+        n_accept = jnp.argmin(
+            jnp.concatenate([agree, jnp.zeros((b, 1), bool)], axis=1), axis=1
+        ).astype(jnp.int32)
+        corrected = t_pred[jnp.arange(b), n_accept]
+    else:
+        pt = _warp_probs(t_logits, sc)  # [B, gamma+1, V]
+        keys = jax.random.split(k_acc, b)
+        n_accept, corrected = jax.vmap(speculative_accept)(cand, pd, pt, keys)
+
+    idx = jnp.arange(gamma + 1)
+    emit = jnp.where(
+        idx[None, :] < n_accept[:, None],
+        jnp.pad(cand, ((0, 0), (0, 1))),
+        corrected[:, None],
+    )  # [B, gamma+1]
+    return emit, n_accept, t_cache, d_cache
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg_t", "cfg_d", "max_new_tokens", "gamma", "sc", "greedy"),
@@ -350,13 +423,7 @@ def speculative_generate_batched(
     round may scribble up to gamma tokens past a sequence's accepted length).
     Returns (tokens [B, max_new_tokens], telemetry).
     """
-    from qeft_tpu.models.llama import (
-        llama_decode_step_ragged,
-        llama_forward_window_ragged,
-    )
-
     b, s_prompt = prompt.shape
-    vocab = cfg_t.vocab_size
 
     t_logits, t_cache = llama_prefill(target_params, prompt, t_cache, cfg_t)
     _, d_cache = llama_prefill(draft_params, prompt, d_cache, cfg_d)
@@ -372,7 +439,7 @@ def speculative_generate_batched(
     out = out.at[:, 0].set(first)
     n_done = jnp.ones((b,), jnp.int32)
 
-    init = (out, n_done, t_cache, d_cache, rng, jnp.int32(0),
+    init = (out, n_done, t_cache, d_cache, rng, jnp.zeros((b,), jnp.int32),
             jnp.zeros((b,), jnp.int32))
 
     def cond(carry):
@@ -381,62 +448,19 @@ def speculative_generate_batched(
 
     def body(carry):
         out, n_done, t_cache, d_cache, rng, rounds, accepted = carry
-        rng, k_draft, k_acc = jax.random.split(rng, 3)
+        rng, key = jax.random.split(rng)
         bidx = jnp.arange(b)
         last = out[bidx, n_done - 1][:, None]  # [B, 1]
         base_pos = s_prompt + n_done - 1  # [B]
 
-        # --- draft: gamma ragged decode steps (every sequence at its own pos)
-        def draft_step(i, c):
-            cand, pd, d_cache, cur = c
-            logits, d_cache = llama_decode_step_ragged(
-                draft_params, cur, d_cache, base_pos + i, cfg_d
-            )
-            if greedy:
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                probs = jax.nn.one_hot(nxt, vocab, dtype=jnp.float32)
-            else:
-                probs = _warp_probs(logits, sc)  # [B, V]
-                nxt = jax.random.categorical(
-                    jax.random.fold_in(k_draft, i), jnp.log(probs), axis=-1
-                ).astype(jnp.int32)
-            cand = cand.at[:, i].set(nxt)
-            pd = pd.at[:, i].set(probs)
-            return cand, pd, d_cache, nxt[:, None]
-
-        cand = jnp.zeros((b, gamma), jnp.int32)
-        pd = jnp.zeros((b, gamma, vocab), jnp.float32)
-        cand, pd, d_cache, _ = jax.lax.fori_loop(
-            0, gamma, draft_step, (cand, pd, d_cache, last)
+        emit, n_accept, t_cache, d_cache = spec_round(
+            target_params, draft_params, last, t_cache, d_cache, base_pos,
+            cfg_t, cfg_d, gamma, sc, greedy, key,
         )
-
-        # --- target: one ragged verify window per sequence
-        window = jnp.concatenate([last, cand], axis=1)  # [B, gamma+1]
-        t_logits, t_cache = llama_forward_window_ragged(
-            target_params, window, t_cache, base_pos, cfg_t
-        )
-
-        if greedy:
-            t_pred = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)
-            agree = cand == t_pred[:, :gamma]
-            n_accept = jnp.argmin(
-                jnp.concatenate([agree, jnp.zeros((b, 1), bool)], axis=1), axis=1
-            ).astype(jnp.int32)
-            corrected = t_pred[jnp.arange(b), n_accept]
-        else:
-            pt = _warp_probs(t_logits, sc)  # [B, gamma+1, V]
-            keys = jax.random.split(k_acc, b)
-            n_accept, corrected = jax.vmap(speculative_accept)(cand, pd, pt, keys)
 
         # --- emit per sequence at its own offset (inactive sequences emit 0)
         active = n_done < max_new_tokens
         emitted_len = jnp.where(active, n_accept + 1, 0)
-        idx = jnp.arange(gamma + 1)
-        emit = jnp.where(
-            idx[None, :] < n_accept[:, None],
-            jnp.pad(cand, ((0, 0), (0, 1))),
-            corrected[:, None],
-        )  # [B, gamma+1]
 
         def write_seq(o_row, e_row, start, e_len):
             def w(i, r):
@@ -455,17 +479,21 @@ def speculative_generate_batched(
             t_cache,
             d_cache,
             rng,
-            rounds + 1,
+            rounds + active.astype(jnp.int32),  # per-seq participation
             accepted + jnp.where(active, n_accept, 0),
         )
 
     out, n_done, t_cache, d_cache, rng, rounds, accepted = jax.lax.while_loop(
         cond, body, init
     )
+    # per-sequence acceptance over the rounds that sequence actually ran
+    per_seq = accepted.astype(jnp.float32) / jnp.maximum(
+        rounds.astype(jnp.float32), 1.0
+    )
     telemetry = {
-        "rounds": rounds,
+        "rounds": rounds.max(),
+        "rounds_per_seq": rounds,
         "accepted_per_seq": accepted,
-        "mean_accept_length": jnp.mean(accepted.astype(jnp.float32))
-        / jnp.maximum(rounds.astype(jnp.float32), 1.0),
+        "mean_accept_length": jnp.mean(per_seq),
     }
     return out[:, :max_new_tokens], telemetry

@@ -136,3 +136,31 @@ def test_sp_decode_sharded_cache_matches_single_device():
         ),
         cache, cache_ref,
     )
+
+
+def test_sp_decode_int8_kv_cache(monkeypatch):
+    """sp decode handles the quantized (int8 codes + scale planes) cache."""
+    from qeft_tpu.parallel.sp import llama_decode_step_sp
+
+    monkeypatch.setenv("QEFT_KV_DTYPE", "int8")
+    mesh = _mesh(2)
+    params = init_params(CFG, jax.random.PRNGKey(5), dtype=jnp.float32)
+    b, s = 1, 6
+    rng = np.random.default_rng(5)
+    prompt = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(b, s)))
+
+    cache = init_kv_cache(CFG, b, 16, dtype=jnp.float32)
+    if "k_scale" not in cache:
+        pytest.skip("int8 KV knob not active in this build")
+    _, cache = llama_prefill(params, prompt, cache, CFG)
+    cache_ref = jax.tree.map(jnp.copy, cache)
+
+    tok = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(b, 1)))
+    for step in range(2):
+        pos = jnp.int32(s + step)
+        ref_logits, cache_ref = llama_decode_step(params, tok, cache_ref, pos, CFG)
+        sp_logits, cache = llama_decode_step_sp(params, tok, cache, pos, CFG, mesh)
+        np.testing.assert_allclose(
+            np.asarray(sp_logits), np.asarray(ref_logits), rtol=5e-2, atol=5e-2
+        )
+        tok = jnp.argmax(sp_logits, axis=-1).astype(jnp.int32)[:, None]
