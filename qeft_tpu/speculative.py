@@ -27,12 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from qeft_tpu.generate import SampleConfig
-from qeft_tpu.models.llama import (
-    LlamaConfig,
-    llama_decode_step,
-    llama_forward_window,
-    llama_prefill,
-)
+from qeft_tpu.models.llama import LlamaConfig, llama_prefill
 
 
 def _warp_probs(logits: jax.Array, sc: SampleConfig) -> jax.Array:
@@ -85,7 +80,14 @@ def speculative_accept(
     return n_accept, corrected
 
 
-@partial(jax.jit, static_argnames=("cfg_t", "cfg_d", "max_new_tokens", "gamma"))
+def _single_seq_telemetry(tel):
+    return {
+        "rounds": tel["rounds"],
+        "accepted_total": tel["accepted_per_seq"][0],
+        "mean_accept_length": tel["mean_accept_length"],
+    }
+
+
 def speculative_generate(
     target_params: Dict,
     draft_params: Dict,
@@ -97,106 +99,19 @@ def speculative_generate(
     max_new_tokens: int,
     gamma: int = 4,
 ) -> Tuple[jax.Array, Dict]:
-    """Greedy speculative decoding. Returns (tokens [1, max_new_tokens],
-    telemetry {rounds, accepted_total}).
+    """Greedy speculative decoding (reference parity surface: B=1).
+    Returns (tokens [1, max_new_tokens], telemetry {rounds, accepted_total}).
 
     The emitted sequence equals the target model's own greedy decode.
-    """
-    b, s_prompt = prompt.shape
-    assert b == 1, "speculative decoding is single-sequence (reference parity)"
-
-    t_logits, t_cache = llama_prefill(target_params, prompt, t_cache, cfg_t)
-    _, d_cache = llama_prefill(draft_params, prompt, d_cache, cfg_d)
-    first = jnp.argmax(t_logits[:, -1, :], axis=-1).astype(jnp.int32)
-
-    out = jnp.zeros((b, max_new_tokens + gamma + 1), jnp.int32)
-    out = out.at[:, 0].set(first)
-
-    # carry: (out, n_done, t_pos, d_pos, t_cache, d_cache, rounds, accepted)
-    # positions: next token to generate sits at absolute position s_prompt + n_done
-    init = (out, jnp.int32(1), t_cache, d_cache, jnp.int32(0), jnp.int32(0))
-
-    def cond(carry):
-        _, n_done, *_ = carry
-        return n_done < max_new_tokens
-
-    def body(carry):
-        out, n_done, t_cache, d_cache, rounds, accepted = carry
-        last = jax.lax.dynamic_slice(out, (0, n_done - 1), (1, 1))  # [1,1]
-        base_pos = s_prompt + n_done - 1  # absolute position of `last`
-
-        # --- draft: gamma sequential decode steps
-        def draft_step(i, c):
-            cand, d_cache, cur = c
-            logits, d_cache = llama_decode_step(
-                draft_params, cur, d_cache, base_pos + i, cfg_d
-            )
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
-            cand = jax.lax.dynamic_update_slice(cand, nxt, (0, i))
-            return cand, d_cache, nxt
-
-        cand = jnp.zeros((1, gamma), jnp.int32)
-        cand, d_cache, _ = jax.lax.fori_loop(
-            0, gamma, draft_step, (cand, d_cache, last)
-        )
-
-        # --- target: verify in ONE windowed forward over [last, cand]
-        # (gamma+1 positions so t_pred[gamma] provides the bonus token when
-        # every candidate is accepted)
-        window = jnp.concatenate([last, cand], axis=1)  # [1, gamma+1]
-        t_logits, t_cache = llama_forward_window(
-            target_params, window, t_cache, base_pos, cfg_t
-        )
-        t_pred = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)  # [1, gamma+1]
-
-        # longest agreeing prefix, then one corrected/bonus token
-        agree = cand == t_pred[:, :gamma]  # [1, gamma]
-        n_accept = jnp.argmin(
-            jnp.concatenate([agree, jnp.zeros((1, 1), bool)], axis=1)[0]
-        ).astype(jnp.int32)  # index of first disagreement (== #accepted)
-        emitted_len = n_accept + 1
-
-        # emitted tokens: cand[:n_accept] then t_pred[n_accept]
-        idx = jnp.arange(gamma + 1)
-        emit = jnp.where(
-            idx[None, :] < n_accept,
-            jnp.pad(cand, ((0, 0), (0, 1))),
-            jnp.take(t_pred, n_accept, axis=1)[:, None],
-        )
-        def write_one(i, o):
-            tok = jax.lax.dynamic_slice(emit, (0, i), (1, 1))
-            return jax.lax.cond(
-                i < emitted_len,
-                lambda oo: jax.lax.dynamic_update_slice(oo, tok, (0, n_done + i)),
-                lambda oo: oo,
-                o,
-            )
-
-        out = jax.lax.fori_loop(0, gamma + 1, write_one, out)
-        return (
-            out,
-            n_done + emitted_len,
-            t_cache,
-            d_cache,
-            rounds + 1,
-            accepted + n_accept,
-        )
-
-    out, n_done, t_cache, d_cache, rounds, accepted = jax.lax.while_loop(
-        cond, body, init
+    Thin wrapper over the batched implementation (one round definition)."""
+    assert prompt.shape[0] == 1, "use speculative_generate_batched for B>1"
+    out, tel = speculative_generate_batched(
+        target_params, draft_params, prompt, t_cache, d_cache, cfg_t, cfg_d,
+        max_new_tokens, jax.random.PRNGKey(0), gamma=gamma, greedy=True,
     )
-    telemetry = {
-        "rounds": rounds,
-        "accepted_total": accepted,
-        "mean_accept_length": accepted.astype(jnp.float32)
-        / jnp.maximum(rounds.astype(jnp.float32), 1.0),
-    }
-    return out[:, :max_new_tokens], telemetry
+    return out, _single_seq_telemetry(tel)
 
 
-@partial(
-    jax.jit, static_argnames=("cfg_t", "cfg_d", "max_new_tokens", "gamma", "sc")
-)
 def speculative_generate_sampled(
     target_params: Dict,
     draft_params: Dict,
@@ -213,100 +128,14 @@ def speculative_generate_sampled(
     """Speculative SAMPLING (do_sample path of the reference's
     `_assisted_decoding`, ftllama_generate.py:410-530): the emitted sequence
     is distributed exactly as sampling from the target alone, but costs one
-    target forward per ~(1 + mean_accept_length) tokens.
-    """
-    b, s_prompt = prompt.shape
-    assert b == 1, "speculative decoding is single-sequence (reference parity)"
-
-    t_logits, t_cache = llama_prefill(target_params, prompt, t_cache, cfg_t)
-    _, d_cache = llama_prefill(draft_params, prompt, d_cache, cfg_d)
-    rng, k0 = jax.random.split(rng)
-    first = jax.random.categorical(
-        k0, jnp.log(_warp_probs(t_logits[:, -1, :], sc)), axis=-1
-    ).astype(jnp.int32)
-
-    out = jnp.zeros((b, max_new_tokens + gamma + 1), jnp.int32)
-    out = out.at[:, 0].set(first)
-
-    init = (out, jnp.int32(1), t_cache, d_cache, rng, jnp.int32(0), jnp.int32(0))
-
-    def cond(carry):
-        _, n_done, *_ = carry
-        return n_done < max_new_tokens
-
-    def body(carry):
-        out, n_done, t_cache, d_cache, rng, rounds, accepted = carry
-        rng, k_draft, k_acc = jax.random.split(rng, 3)
-        last = jax.lax.dynamic_slice(out, (0, n_done - 1), (1, 1))
-        base_pos = s_prompt + n_done - 1
-
-        vocab = cfg_d.vocab_size
-
-        def draft_step(i, c):
-            cand, pd, d_cache, cur = c
-            logits, d_cache = llama_decode_step(
-                draft_params, cur, d_cache, base_pos + i, cfg_d
-            )
-            probs = _warp_probs(logits[0], sc)  # [V]
-            nxt = jax.random.categorical(
-                jax.random.fold_in(k_draft, i), jnp.log(probs)
-            ).astype(jnp.int32)[None, None]
-            cand = jax.lax.dynamic_update_slice(cand, nxt, (0, i))
-            pd = jax.lax.dynamic_update_slice(pd, probs[None], (i, 0))
-            return cand, pd, d_cache, nxt
-
-        cand = jnp.zeros((1, gamma), jnp.int32)
-        pd = jnp.zeros((gamma, vocab), jnp.float32)
-        cand, pd, d_cache, _ = jax.lax.fori_loop(
-            0, gamma, draft_step, (cand, pd, d_cache, last)
-        )
-
-        window = jnp.concatenate([last, cand], axis=1)  # [1, gamma+1]
-        t_logits, t_cache = llama_forward_window(
-            target_params, window, t_cache, base_pos, cfg_t
-        )
-        pt = _warp_probs(t_logits[0], sc)  # [gamma+1, V]
-
-        n_accept, corrected = speculative_accept(cand[0], pd, pt, k_acc)
-        emitted_len = n_accept + 1
-
-        idx = jnp.arange(gamma + 1)
-        emit = jnp.where(
-            idx[None, :] < n_accept,
-            jnp.pad(cand, ((0, 0), (0, 1))),
-            corrected[None, None],
-        )
-
-        def write_one(i, o):
-            tok = jax.lax.dynamic_slice(emit, (0, i), (1, 1))
-            return jax.lax.cond(
-                i < emitted_len,
-                lambda oo: jax.lax.dynamic_update_slice(oo, tok, (0, n_done + i)),
-                lambda oo: oo,
-                o,
-            )
-
-        out = jax.lax.fori_loop(0, gamma + 1, write_one, out)
-        return (
-            out,
-            n_done + emitted_len,
-            t_cache,
-            d_cache,
-            rng,
-            rounds + 1,
-            accepted + n_accept,
-        )
-
-    out, n_done, t_cache, d_cache, rng, rounds, accepted = jax.lax.while_loop(
-        cond, body, init
+    target forward per ~(1 + mean_accept_length) tokens.  Thin wrapper over
+    the batched implementation."""
+    assert prompt.shape[0] == 1, "use speculative_generate_batched for B>1"
+    out, tel = speculative_generate_batched(
+        target_params, draft_params, prompt, t_cache, d_cache, cfg_t, cfg_d,
+        max_new_tokens, rng, gamma=gamma, sc=sc, greedy=False,
     )
-    telemetry = {
-        "rounds": rounds,
-        "accepted_total": accepted,
-        "mean_accept_length": accepted.astype(jnp.float32)
-        / jnp.maximum(rounds.astype(jnp.float32), 1.0),
-    }
-    return out[:, :max_new_tokens], telemetry
+    return out, _single_seq_telemetry(tel)
 
 
 def spec_round(
