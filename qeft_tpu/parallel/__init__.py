@@ -4,3 +4,5 @@ from qeft_tpu.parallel.mesh import (
     cache_shardings,
     shard_params,
 )
+from qeft_tpu.parallel.pp import pp_decode_step, pp_shardings
+from qeft_tpu.parallel.sp import llama_decode_step_sp, llama_prefill_sp
