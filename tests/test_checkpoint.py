@@ -91,3 +91,45 @@ def test_wct_overlay(tmp_path):
         np.asarray(loaded2["layers"]["q"].oweight),
         np.asarray(loaded["layers"]["q"].oweight),
     )
+
+
+def test_convert_fake_to_packed_matches_direct_packing(tmp_path):
+    """python -m qeft_tpu.convert: a fake checkpoint repacks into exactly the
+    packed model that quantize-time --packing would have produced."""
+    import jax
+    import jax.numpy as jnp
+
+    from qeft_tpu.checkpoint import load_packed, save_fake, save_packed
+    from qeft_tpu.convert import main as convert_main
+    from qeft_tpu.models import LLAMA_PRESETS, init_params, llama_forward
+    from qeft_tpu.models.registry import get_model_meta
+    from qeft_tpu.pipeline import (
+        QuantizeArgs, extract_global_outidx, pack_model, quantize_model,
+    )
+    from qeft_tpu.quant.quantizer import QuantSpec
+
+    cfg = LLAMA_PRESETS["tiny"]
+    meta = get_model_meta("llama")
+    params = init_params(cfg, jax.random.PRNGKey(11), dtype=jnp.float32)
+    calib = np.random.default_rng(0).integers(0, cfg.vocab_size, size=(2, 16))
+    args = QuantizeArgs(
+        spec=QuantSpec(bits=4, sym=False, mse=False, group_size=32),
+        target_rank=8, no_frob_norm=True, nsamples=2, reorder=True,
+    )
+    outidx, _ = extract_global_outidx(params, calib, cfg, meta, args)
+    qparams, quantizers = quantize_model(params, calib, cfg, meta, args, outidx)
+
+    save_fake(str(tmp_path / "m_fake"), qparams, quantizers, cfg, family="llama")
+    convert_main([str(tmp_path / "m_fake"), str(tmp_path / "m_conv")])
+
+    direct = pack_model(qparams, quantizers, cfg, meta)
+    save_packed(str(tmp_path / "m_direct"), direct, cfg, family="llama")
+
+    pc, ccfg, _ = load_packed(str(tmp_path / "m_conv"))
+    pd, _, _ = load_packed(str(tmp_path / "m_direct"))
+    toks = jnp.asarray(calib[:1])
+    np.testing.assert_allclose(
+        np.asarray(llama_forward(pc, toks, ccfg), np.float32),
+        np.asarray(llama_forward(pd, toks, ccfg), np.float32),
+        rtol=2e-3, atol=2e-3,
+    )
