@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qeft_tpu.models.llama import LlamaConfig, llama_forward
+from qeft_tpu.models.llama import LlamaConfig
 
 
 @dataclasses.dataclass
@@ -27,30 +27,34 @@ class MCExample:
     label: int
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _seq_logprobs(params, tokens, cfg: LlamaConfig):
+@partial(jax.jit, static_argnames=("cfg", "family"))
+def _seq_logprobs(params, tokens, cfg: LlamaConfig, family: str = "llama"):
     """Per-position next-token log-probs for one [1, S] sequence."""
-    logits = llama_forward(params, tokens, cfg).astype(jnp.float32)
+    from qeft_tpu.models.api import get_model_api
+
+    logits = get_model_api(family).forward(params, tokens, cfg).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     tgt = tokens[:, 1:]
     return jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]  # [1, S-1]
 
 
-def score_example(params, ex: MCExample, cfg: LlamaConfig) -> int:
+def score_example(params, ex: MCExample, cfg: LlamaConfig,
+                  family: str = "llama") -> int:
     """Argmax over summed choice-continuation log-likelihoods."""
     scores = []
     for choice in ex.choice_ids:
         seq = np.concatenate([ex.context_ids, choice])[None, :]
-        lp = np.asarray(_seq_logprobs(params, jnp.asarray(seq), cfg))
+        lp = np.asarray(_seq_logprobs(params, jnp.asarray(seq), cfg, family))
         n_choice = len(choice)
         scores.append(float(lp[0, -n_choice:].sum()))
     return int(np.argmax(scores))
 
 
-def evaluate_mc(params, examples: List[MCExample], cfg: LlamaConfig) -> Dict:
+def evaluate_mc(params, examples: List[MCExample], cfg: LlamaConfig,
+                family: str = "llama") -> Dict:
     correct = 0
     for ex in examples:
-        correct += int(score_example(params, ex, cfg) == ex.label)
+        correct += int(score_example(params, ex, cfg, family) == ex.label)
     return {"accuracy": correct / max(len(examples), 1), "n": len(examples)}
 
 

@@ -144,19 +144,39 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     return opt
 
 
-@partial(jax.jit, static_argnames=("cfg", "remat"))
-def wct_loss(oweights, frozen, input_ids, labels, cfg: LlamaConfig, remat: bool = True):
+def _train_forward(family: str, remat: bool):
+    """Family-dispatched training forward.  llama/gemma get the block-remat
+    forward; other families run their plain full-sequence forward, wrapped
+    whole in jax.checkpoint when remat is on (coarser than per-block remat
+    but bounds activation memory the same way)."""
+    if family in ("llama", "gemma"):
+        return lambda params, tokens, cfg: llama_forward_train(
+            params, tokens, cfg, remat
+        )
+    from qeft_tpu.models.api import get_model_api
+
+    fwd = get_model_api(family).forward
+    if remat:
+        return jax.checkpoint(fwd, static_argnums=(2,))
+    return fwd
+
+
+@partial(jax.jit, static_argnames=("cfg", "remat", "family"))
+def wct_loss(oweights, frozen, input_ids, labels, cfg, remat: bool = True,
+             family: str = "llama"):
     params = merge_wct(oweights, frozen)
-    logits = llama_forward_train(params, input_ids, cfg, remat)
+    logits = _train_forward(family, remat)(params, input_ids, cfg)
     return causal_lm_loss(logits, labels)
 
 
-def make_train_step(cfg: LlamaConfig, opt, remat: bool = True):
+def make_train_step(cfg, opt, remat: bool = True, family: str = "llama"):
+    forward = _train_forward(family, remat)
+
     @partial(jax.jit, donate_argnames=("oweights", "opt_state"))
     def train_step(oweights, opt_state, frozen, input_ids, labels):
         def loss_fn(ow):
             params = merge_wct(ow, frozen)
-            logits = llama_forward_train(params, input_ids, cfg, remat)
+            logits = forward(params, input_ids, cfg)
             return causal_lm_loss(logits, labels)
 
         loss, grads = jax.value_and_grad(loss_fn)(oweights)

@@ -91,10 +91,6 @@ def main(argv=None):
         return
 
     params, cfg, family = load_packed(args.load)
-    assert family in ("llama", "gemma"), (
-        f"WCT fine-tuning drives the llama-family training forward; got "
-        f"family={family!r} from the checkpoint manifest"
-    )
     meta = get_model_meta(family)
     oweights, frozen = split_wct(params, meta)
 
@@ -116,7 +112,7 @@ def main(argv=None):
     )
     opt = make_optimizer(tc)
     opt_state = opt.init(oweights)
-    step_fn = make_train_step(cfg, opt, remat=tc.remat)
+    step_fn = make_train_step(cfg, opt, remat=tc.remat, family=family)
 
     examples = load_sft_examples(
         args.dataset, args.tokenizer, args.nsamples, cfg.vocab_size, args.seed
@@ -137,18 +133,17 @@ def main(argv=None):
 
     def run_eval(step, ow):
         """Held-out validation loss on the current training model."""
-        import jax as _jax
-
         from qeft_tpu.data.sft import mask_and_pad
-        from qeft_tpu.finetune import wct_loss
+        from qeft_tpu.finetune import wct_loss  # already jitted
 
-        loss_fn = _jax.jit(wct_loss, static_argnames=("cfg", "remat"))
+        loss_fn = wct_loss
         total, nb = 0.0, 0
         for i in range(0, len(eval_examples) - args.batch_size + 1, args.batch_size):
             chunk = eval_examples[i : i + args.batch_size]
             ids, labels = mask_and_pad(chunk, args.source_max_len, 0, False)
             total += float(loss_fn(ow, frozen, jnp.asarray(ids),
-                                   jnp.asarray(labels), cfg=cfg, remat=False))
+                                   jnp.asarray(labels), cfg=cfg, remat=False,
+                                   family=family))
             nb += 1
         eval_loss = total / max(nb, 1)
         print(f"step {step}  eval-loss {eval_loss:.4f} (n={nb * args.batch_size})")
@@ -171,7 +166,7 @@ def main(argv=None):
         from qeft_tpu.eval_mc import evaluate_mc
         from qeft_tpu.finetune import merge_wct
 
-        res = evaluate_mc(merge_wct(ow, frozen), mmlu_examples, cfg)
+        res = evaluate_mc(merge_wct(ow, frozen), mmlu_examples, cfg, family)
         print(f"step {step}  mmlu-eval accuracy {res['accuracy']:.4f} (n={res['n']})")
         return {"step": step, "mmlu_accuracy": res["accuracy"], "mmlu_n": res["n"]}
 

@@ -143,3 +143,48 @@ def test_wikitext_sft_blocks_fully_supervised(monkeypatch):
     input_ids, labels = mask_and_pad(exs, max_len=12, pad_id=0, train_on_prompt=False)
     np.testing.assert_array_equal(input_ids, fake)
     np.testing.assert_array_equal(labels, fake)  # nothing masked
+
+
+def test_wct_training_other_family():
+    """WCT fine-tuning is family-dispatched (the reference fine-tunes any of
+    its models through the HF trainer): OPT trains through its own forward,
+    loss decreases, and only oweights change."""
+    import jax
+    import jax.numpy as jnp
+
+    from qeft_tpu.finetune import (
+        TrainConfig, make_optimizer, make_train_step, merge_wct, split_wct,
+    )
+    from qeft_tpu.models.opt import OPT_PRESETS, init_params as opt_init
+    from qeft_tpu.models.registry import get_model_meta
+    from qeft_tpu.pipeline import QuantizeArgs, pack_model, quantize_model
+    from qeft_tpu.quant.quantizer import QuantSpec
+
+    cfg = OPT_PRESETS["opt-tiny"]
+    meta = get_model_meta("opt")
+    params = opt_init(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib = np.random.default_rng(0).integers(0, cfg.vocab_size, size=(2, 16))
+    args = QuantizeArgs(
+        spec=QuantSpec(bits=4, sym=False, mse=False, group_size=32),
+        target_rank=8, no_frob_norm=True, nsamples=2, reorder=False,
+    )
+    qparams, quantizers = quantize_model(params, calib, cfg, meta, args)
+    packed = pack_model(qparams, quantizers, cfg, meta, dtype=jnp.float32)
+
+    oweights, frozen = split_wct(packed, meta)
+    tc = TrainConfig(learning_rate=1e-3, total_steps=6, remat=True)
+    opt = make_optimizer(tc)
+    opt_state = opt.init(oweights)
+    step = make_train_step(cfg, opt, remat=True, family="opt")
+
+    ids = jnp.asarray(calib)
+    losses = []
+    for _ in range(6):
+        oweights, opt_state, loss = step(oweights, opt_state, frozen, ids, ids)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    # the merged model still forwards
+    from qeft_tpu.models.opt import opt_forward
+
+    out = opt_forward(merge_wct(oweights, frozen), ids[:1], cfg)
+    assert np.isfinite(np.asarray(out)).all()
