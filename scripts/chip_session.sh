@@ -45,6 +45,12 @@ if [ -f ckpt/llama2_7b_w4g128r128_packed.npz ]; then
         >> "$LOG" 2>&1 || echo "wct7b FAILED" >> "$LOG"
 fi
 
+# [3b] 13B end-to-end generation benchmark (BASELINE config 3; prefill +
+# decode through the packed Pallas paths, random weights at real shapes)
+timeout 3600 python -m qeft_tpu.run_benchmark --method qeft \
+    --model llama2-13b --logfile "$LOG" >> "$LOG" 2>&1 \
+    || echo "13b bench FAILED" >> "$LOG"
+
 # [4] speculative decode benchmarks (7B target, tiny-v2 draft, random weights)
 timeout 3600 python -m qeft_tpu.run_benchmark --method spec \
     --model llama2-7b --draft_model tiny-v2 --gamma 4 \
