@@ -99,3 +99,31 @@ def test_pp_decode_packed_model():
     np.testing.assert_allclose(
         np.asarray(pp_logits), np.asarray(ref_logits), rtol=2e-3, atol=2e-3
     )
+
+
+def test_pp_decode_int8_kv_cache(monkeypatch):
+    """Pipelined decode with the quantized (int8 codes + scale planes) cache."""
+    monkeypatch.setenv("QEFT_KV_DTYPE", "int8")
+    mesh = _mesh(2)
+    params = init_params(CFG, jax.random.PRNGKey(6), dtype=jnp.float32)
+    b = 4
+    rng = np.random.default_rng(6)
+    prompt = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(b, 5)))
+
+    cache = init_kv_cache(CFG, b, 16, dtype=jnp.float32)
+    if "k_scale" not in cache:
+        pytest.skip("int8 KV knob not active in this build")
+    _, cache = llama_prefill(params, prompt, cache, CFG)
+    cache_ref = jax.tree.map(jnp.copy, cache)
+
+    p_sh, c_sh = pp_shardings(params, cache, mesh)
+    params_pp = jax.device_put(params, p_sh)
+    cache_pp = jax.device_put(cache, c_sh)
+
+    tok = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(b, 1)))
+    pos = jnp.int32(5)
+    ref_logits, _ = llama_decode_step(params, tok, cache_ref, pos, CFG)
+    pp_logits, _ = pp_decode_step(params_pp, tok, cache_pp, pos, CFG, mesh)
+    np.testing.assert_allclose(
+        np.asarray(pp_logits), np.asarray(ref_logits), rtol=5e-2, atol=5e-2
+    )
