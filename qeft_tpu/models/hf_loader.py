@@ -404,6 +404,17 @@ def load_hf_model(path: str, dtype=jnp.bfloat16):
         return params, cfg, "opt"
     if mt in ("llama", "gemma", "mistral"):
         params, cfg = load_hf_llama(path, dtype=dtype)
+        if mt == "mistral":
+            # mistral topology == llama, but its sliding-window attention is
+            # served here as FULL attention — identical for sequences up to
+            # sliding_window; cap the position budget so longer sequences
+            # can't silently diverge from the HF implementation
+            with open(os.path.join(path, "config.json")) as f:
+                sw = json.load(f).get("sliding_window") or 0
+            if sw and sw < cfg.max_position_embeddings:
+                import dataclasses as _dc
+
+                cfg = _dc.replace(cfg, max_position_embeddings=sw)
         return params, cfg, "gemma" if mt == "gemma" else "llama"
     if mt == "phi":
         params, cfg = load_hf_phi(path, dtype=dtype)
