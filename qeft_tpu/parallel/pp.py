@@ -190,3 +190,39 @@ def pp_decode_step(
         stage, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )(params, tokens, cache, pos)
+
+
+def pp_generate(
+    params: Dict,
+    prompt: jax.Array,  # [B, S]
+    cache: Dict,
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    max_new_tokens: int,
+    n_microbatches: int = 0,
+) -> jax.Array:
+    """Greedy generation through the pipelined decode step.
+
+    The whole-prompt prefill is a large matmul workload XLA already keeps
+    busy, so it runs replicated (llama_prefill); only the decode loop —
+    where stage overlap matters — goes through `pp_decode_step`.
+    Returns tokens [B, max_new_tokens].
+    """
+    from qeft_tpu.models.llama import llama_prefill
+
+    b, s_prompt = prompt.shape
+    logits, cache = llama_prefill(params, prompt, cache, cfg)
+    p_sh, c_sh = pp_shardings(params, cache, mesh)
+    params = jax.device_put(params, p_sh)
+    cache = jax.device_put(cache, c_sh)
+
+    tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+    out = [tok]
+    for i in range(max_new_tokens - 1):
+        logits, cache = pp_decode_step(
+            params, tok, cache, jnp.int32(s_prompt + i), cfg, mesh,
+            n_microbatches=n_microbatches,
+        )
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        out.append(tok)
+    return jnp.concatenate(out, axis=1)

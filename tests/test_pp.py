@@ -127,3 +127,20 @@ def test_pp_decode_int8_kv_cache(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(pp_logits), np.asarray(ref_logits), rtol=5e-2, atol=5e-2
     )
+
+
+def test_pp_generate_matches_plain_generate():
+    from qeft_tpu.generate import SampleConfig, generate
+    from qeft_tpu.parallel.pp import pp_generate
+
+    mesh = _mesh(2)
+    params = init_params(CFG, jax.random.PRNGKey(7), dtype=jnp.float32)
+    b = 4
+    prompt = jnp.asarray(
+        np.random.default_rng(7).integers(0, CFG.vocab_size, size=(b, 5))
+    )
+    cache = init_kv_cache(CFG, b, 16, dtype=jnp.float32)
+    ref, _ = generate(params, prompt, jax.tree.map(jnp.copy, cache), CFG, 8,
+                      SampleConfig(greedy=True))
+    got = pp_generate(params, prompt, cache, CFG, mesh, 8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
