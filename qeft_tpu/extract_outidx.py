@@ -202,6 +202,14 @@ def main():
     parser.add_argument("--output_dir", type=str, default="outidx")
     args = parser.parse_args()
 
+    # fail BEFORE the multi-hour extraction pass, not at the final top-k
+    if args.target_rank is None and args.perhead is None:
+        parser.error(
+            "--target_rank or --perhead is required: the global outlier "
+            "index is a top-k over the sensitivity sum (--target_bit alone "
+            "only sets per-layer budgets)"
+        )
+
     from qeft_tpu.data import get_calibration_tokens
     from qeft_tpu.pipeline import extract_global_outidx
 

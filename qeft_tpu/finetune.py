@@ -90,9 +90,15 @@ def merge_wct(oweights: Dict, frozen: Dict) -> Dict:
 
 
 def llama_forward_train(params: Dict, tokens: jax.Array, cfg: LlamaConfig, remat: bool = True):
-    """Full-sequence forward with optional rematerialized blocks."""
+    """Full-sequence forward with optional rematerialized blocks.
+
+    Uses the serving path's `_embed` and norm numerics (gemma's embedding
+    scale and (1+w) norm offset included) so training optimizes exactly the
+    model that will be served."""
+    from qeft_tpu.models.llama import _embed
+
     b, s = tokens.shape
-    x = jnp.take(params["embed"], tokens, axis=0)
+    x = _embed(params, tokens, cfg)
     pos = jnp.arange(s)[None, :]
     cos, sin = rope_tables(cfg, pos)
     mask = _causal_mask(s)
@@ -104,7 +110,7 @@ def llama_forward_train(params: Dict, tokens: jax.Array, cfg: LlamaConfig, remat
     if remat:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["layers"])
-    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     return apply_linear(params["lm_head"], x, x.dtype)
 
 

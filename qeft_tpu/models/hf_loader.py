@@ -36,6 +36,7 @@ def config_from_hf(path: str) -> LlamaConfig:
     with open(os.path.join(path, "config.json")) as f:
         hc = json.load(f)
     head_dim = hc.get("head_dim", hc["hidden_size"] // hc["num_attention_heads"])
+    gemma = hc.get("model_type", "llama").lower() == "gemma"
     return LlamaConfig(
         vocab_size=hc["vocab_size"],
         hidden_size=hc["hidden_size"],
@@ -47,6 +48,11 @@ def config_from_hf(path: str) -> LlamaConfig:
         max_position_embeddings=hc.get("max_position_embeddings", 4096),
         rms_norm_eps=hc.get("rms_norm_eps", 1e-5),
         rope_theta=hc.get("rope_theta", 10000.0),
+        # gemma numerics (matching the LLAMA_PRESETS gemma entries): gelu
+        # MLP, (1+w)-scaled RMSNorm, sqrt(hidden)-scaled embeddings
+        act="gelu_tanh" if gemma else "silu",
+        rms_one_offset=gemma,
+        embed_scale=gemma,
     )
 
 
@@ -68,18 +74,8 @@ def _open_shards(path: str):
 
 
 def load_hf_llama(path: str, dtype=jnp.bfloat16) -> Tuple[Dict, LlamaConfig]:
-    from safetensors import safe_open
-
     cfg = config_from_hf(path)
-    key_to_file, base = _open_shards(path)
-
-    handles = {}
-
-    def get(name: str) -> np.ndarray:
-        fname = key_to_file[name]
-        if fname not in handles:
-            handles[fname] = safe_open(os.path.join(base, fname), framework="np")
-        return handles[fname].get_tensor(name)
+    get, has = _reader(path)
 
     def lin(name: str):
         # HF stores [out, in]; ours is [in, out]
@@ -105,7 +101,7 @@ def load_hf_llama(path: str, dtype=jnp.bfloat16) -> Tuple[Dict, LlamaConfig]:
         "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
         "final_ln": jnp.asarray(get("model.norm.weight"), dtype=dtype),
     }
-    if "lm_head.weight" in key_to_file:
+    if has("lm_head.weight"):
         params["lm_head"] = lin("lm_head.weight")
     else:  # tied embeddings
         params["lm_head"] = params["embed"].T
@@ -398,7 +394,8 @@ def load_hf_model(path: str, dtype=jnp.bfloat16):
     dispatches by model-name matching (utils/misc.py:69-95) and loads via
     AutoModel; here config.json's model_type picks the family loader."""
     with open(os.path.join(path, "config.json")) as f:
-        mt = json.load(f).get("model_type", "llama").lower()
+        hc = json.load(f)
+    mt = hc.get("model_type", "llama").lower()
     if mt == "opt":
         params, cfg = load_hf_opt(path, dtype=dtype)
         return params, cfg, "opt"
@@ -409,8 +406,7 @@ def load_hf_model(path: str, dtype=jnp.bfloat16):
             # served here as FULL attention — identical for sequences up to
             # sliding_window; cap the position budget so longer sequences
             # can't silently diverge from the HF implementation
-            with open(os.path.join(path, "config.json")) as f:
-                sw = json.load(f).get("sliding_window") or 0
+            sw = hc.get("sliding_window") or 0
             if sw and sw < cfg.max_position_embeddings:
                 import dataclasses as _dc
 

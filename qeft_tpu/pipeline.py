@@ -113,7 +113,12 @@ def _embed_tokens(embed, tokens, cfg: LlamaConfig):
     # takes only the embedding table (passing the whole params pytree into a
     # jitted function would transfer every leaf to device — the rest of the
     # model stays host-resident and streams per block)
-    return jnp.take(embed, tokens, axis=0)
+    x = jnp.take(embed, tokens, axis=0)
+    if getattr(cfg, "embed_scale", False):
+        # gemma scales embeddings by sqrt(hidden); calibration must see the
+        # same block-0 input distribution the serving forward produces
+        x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
+    return x
 
 
 def _hessian_precision():
@@ -365,22 +370,7 @@ def _stage_of(meta: ModelMeta, name: str) -> str:
 
 
 def _n_out_dict(params, meta: ModelMeta, args: QuantizeArgs, cfg: LlamaConfig) -> Dict[str, int]:
-    """Per-layer outlier budget (reference main.py:76-95)."""
-    n_out = {l: 0 for l in meta.all_linears}
-    if args.target_bit is not None:
-        wbits = args.spec.bits
-        n_owq = len(meta.all_linears)
-        r = (12 / (16 - wbits)) * (args.target_bit - wbits) / n_owq
-        blk0 = jax.tree.map(lambda a: a[0], params["layers"])
-        for l in meta.all_linears:
-            k_in = blk0[l].shape[0]
-            n = round(k_in * r * meta.ratios[l])
-            if n % 2 == 1:
-                n += 1
-            n_out[l] = n
-    elif args.target_rank is not None:
-        for l in meta.all_linears:
-            n_out[l] = args.target_rank
+    """Per-layer outlier budget (reference extract_outidx.py:82-99)."""
     if args.owq_layers is not None:
         unknown = set(args.owq_layers) - set(meta.all_linears)
         if unknown:
@@ -388,9 +378,26 @@ def _n_out_dict(params, meta: ModelMeta, args: QuantizeArgs, cfg: LlamaConfig) -
                 f"unknown --layers {sorted(unknown)}; "
                 f"available: {list(meta.all_linears)}"
             )
-        for l in meta.all_linears:
-            if l not in args.owq_layers:
-                n_out[l] = 0
+        selected = [l for l in meta.all_linears if l in args.owq_layers]
+    else:
+        selected = list(meta.all_linears)
+
+    n_out = {l: 0 for l in meta.all_linears}
+    if args.target_bit is not None:
+        wbits = args.spec.bits
+        # the average-bits budget is spread over the SELECTED layers only
+        # (reference: r /= n_owq_layers = sum(owq_layers.values()))
+        r = (12 / (16 - wbits)) * (args.target_bit - wbits) / len(selected)
+        blk0 = jax.tree.map(lambda a: a[0], params["layers"])
+        for l in selected:
+            k_in = blk0[l].shape[0]
+            n = round(k_in * r * meta.ratios[l])
+            if n % 2 == 1:
+                n += 1
+            n_out[l] = n
+    elif args.target_rank is not None:
+        for l in selected:
+            n_out[l] = args.target_rank
     return n_out
 
 
@@ -497,9 +504,10 @@ def quantize_model(
     # already-quantized earlier stages of the same block (reference
     # main.py:102-105 runs the capture per stage group)
     stage_order = (
-        [meta.qkv, meta.out, meta.ffn1, meta.ffn2]
+        [(meta.qkv, ("qkv",)), (meta.out, ("out",)),
+         (meta.ffn1, ("ffn1",)), (meta.ffn2, ("ffn2",))]
         if args.true_sequential
-        else [meta.all_linears]
+        else [(meta.all_linears, _ALL_STAGES)]
     )
 
     # layer streaming: the full model never needs to fit on device (reference
@@ -511,10 +519,12 @@ def quantize_model(
 
         new_blk = dict(blk)
         h_sums = None
-        for stage_names in stage_order:
-            # recompute Hessians against the partially-quantized block
+        for stage_names, stage_keys in stage_order:
+            # recompute Hessians against the partially-quantized block — but
+            # ONLY this group's stage (the [F, F] ffn2 sum alone is ~0.5 GB
+            # at 7B; rebuilding all four per group quadruples the cost)
             if args.true_sequential or h_sums is None:
-                _, h_sums = hess_fn(new_blk, inps, cfg)
+                _, h_sums = hess_fn(new_blk, inps, cfg, stages=stage_keys)
             for name in stage_names:
                 _quantize_one(
                     name, blk, new_blk, h_sums, quantizers, i, meta, args,
@@ -861,7 +871,7 @@ def fuse_packed_stages(params: Dict, meta: ModelMeta) -> Dict:
     'qkv', up/gate -> 'upgate'.  Same math as pack_model(fuse_stages=True);
     lets a checkpoint saved unfused serve through the fused fast path."""
     layers = dict(params["layers"])
-    if meta.family == "llama" and len(meta.qkv) == 3 and all(
+    if meta.family in ("llama", "gemma") and len(meta.qkv) == 3 and all(
         n in layers for n in meta.qkv
     ):
         _fuse_stage(layers, meta.qkv, "qkv")
@@ -947,7 +957,15 @@ def pack_model(
             if reorder_ids is not None:
                 nb[name] = dataclasses.replace(nb[name], reorder_ids=reorder_ids)
         if fuse_stages:
-            if meta.family == "llama" and len(meta.qkv) == 3:
+            # llama/gemma share the block that understands fused 'qkv'/'upgate'
+            fusable_qkv = meta.family in ("llama", "gemma") and len(meta.qkv) == 3
+            if not fusable_qkv and len(meta.ffn1) != 2:
+                raise ValueError(
+                    f"fuse_stages: family {meta.family!r} has no fusable "
+                    "stages (its qkv is already a single linear and its "
+                    "ffn1 is unary)"
+                )
+            if fusable_qkv:
                 _fuse_stage(nb, meta.qkv, "qkv")
             if len(meta.ffn1) == 2:
                 _fuse_stage(nb, meta.ffn1, "upgate")

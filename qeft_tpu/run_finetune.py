@@ -18,6 +18,42 @@ import os
 import time
 
 
+def _save_opt_state(path: str, opt_state):
+    """Optimizer-state sidecar: flattened leaves (bf16 via uint16 view).
+    Resume restores Adam moments, MultiSteps accumulation, and the LR
+    schedule position (optax counts live in the state)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    flat = {}
+    for i, leaf in enumerate(leaves):
+        a = np.asarray(leaf)
+        if a.dtype == jnp.bfloat16:
+            flat[f"l{i}@bf16"] = a.view(np.uint16)
+        else:
+            flat[f"l{i}"] = a
+    np.savez(path, **flat)
+
+
+def _load_opt_state(path: str, template):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    treedef = jax.tree_util.tree_structure(template)
+    n = len(jax.tree_util.tree_leaves(template))
+    with np.load(path) as z:
+        leaves = []
+        for i in range(n):
+            if f"l{i}@bf16" in z.files:
+                leaves.append(jnp.asarray(z[f"l{i}@bf16"].view(jnp.bfloat16)))
+            else:
+                leaves.append(jnp.asarray(z[f"l{i}"]))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def get_last_checkpoint(output_dir: str):
     """Resume scan (reference finetune.py:747-759)."""
     if not os.path.isdir(output_dir):
@@ -112,6 +148,14 @@ def main(argv=None):
     )
     opt = make_optimizer(tc)
     opt_state = opt.init(oweights)
+    if resume_path:
+        opt_path = os.path.join(args.output_dir, f"opt_step{start_step}.npz")
+        if os.path.exists(opt_path):
+            opt_state = _load_opt_state(opt_path, opt_state)
+            print(f"restored optimizer state (schedule at step {start_step})")
+        else:
+            print("WARNING: no optimizer-state sidecar; Adam moments and the "
+                  "LR schedule restart from zero")
     step_fn = make_train_step(cfg, opt, remat=tc.remat, family=family)
 
     examples = load_sft_examples(
@@ -119,6 +163,8 @@ def main(argv=None):
     )
     eval_examples = []
     if args.eval_steps > 0:
+        if args.eval_nsamples <= 0:
+            raise ValueError("--eval_nsamples must be positive with --eval_steps")
         if len(examples) <= args.eval_nsamples:
             raise ValueError(
                 f"--eval_nsamples {args.eval_nsamples} >= dataset size "
@@ -137,16 +183,16 @@ def main(argv=None):
         from qeft_tpu.finetune import wct_loss  # already jitted
 
         loss_fn = wct_loss
-        total, nb = 0.0, 0
-        for i in range(0, len(eval_examples) - args.batch_size + 1, args.batch_size):
-            chunk = eval_examples[i : i + args.batch_size]
+        total, n_seen = 0.0, 0
+        for i in range(0, len(eval_examples), args.batch_size):
+            chunk = eval_examples[i : i + args.batch_size]  # remainder included
             ids, labels = mask_and_pad(chunk, args.source_max_len, 0, False)
             total += float(loss_fn(ow, frozen, jnp.asarray(ids),
                                    jnp.asarray(labels), cfg=cfg, remat=False,
-                                   family=family))
-            nb += 1
-        eval_loss = total / max(nb, 1)
-        print(f"step {step}  eval-loss {eval_loss:.4f} (n={nb * args.batch_size})")
+                                   family=family)) * len(chunk)
+            n_seen += len(chunk)
+        eval_loss = total / n_seen
+        print(f"step {step}  eval-loss {eval_loss:.4f} (n={n_seen})")
         return {"step": step, "eval_loss": eval_loss}
 
     mmlu_examples = None
@@ -172,6 +218,13 @@ def main(argv=None):
 
     mmlu_every = args.mmlu_eval_steps or args.save_steps
     metrics = []
+    if start_step:
+        mpath = os.path.join(args.output_dir, "metrics.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                metrics = json.load(f)
+        for _ in range(start_step):  # data position follows the step counter
+            next(data, None)
     t0 = time.time()
     step = start_step
     for batch in data:
@@ -190,6 +243,11 @@ def main(argv=None):
             save_wct(
                 os.path.join(args.output_dir, f"wct_step{step}"), oweights, args.load
             )
+            _save_opt_state(
+                os.path.join(args.output_dir, f"opt_step{step}.npz"), opt_state
+            )
+            with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
+                json.dump(metrics, f, indent=1)  # crash-durable
         if mmlu_examples is not None and step % mmlu_every == 0:
             metrics.append(run_mmlu(step, oweights))
         if args.eval_steps > 0 and step % args.eval_steps == 0:

@@ -93,3 +93,17 @@ def test_falcon_parity(tmp_path):
         bias=False, new_decoder_architecture=False, alibi=False,
     )), tmp_path)
     _compare(tmp_path, "falcon")
+
+
+def test_gemma_parity(tmp_path):
+    """Gemma numerics through the loader: gelu MLP, (1+w) RMSNorm,
+    sqrt(hidden)-scaled embeddings, tied lm_head (the config flags must ride
+    config_from_hf, not just the presets)."""
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    _save(GemmaForCausalLM(GemmaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64,
+    )), tmp_path)
+    _compare(tmp_path, "gemma")
