@@ -122,14 +122,18 @@ def load_or_build():
     """Real pipeline checkpoint when present, else the random builder."""
     key = jax.random.PRNGKey(0)
     if os.path.exists(CKPT + ".json"):
-        from qeft_tpu.checkpoint import load_packed
-        from qeft_tpu.models.registry import get_model_meta
-        from qeft_tpu.pipeline import fuse_packed_stages
+        try:
+            from qeft_tpu.checkpoint import load_packed
+            from qeft_tpu.models.registry import get_model_meta
+            from qeft_tpu.pipeline import fuse_packed_stages
 
-        params, cfg, family = load_packed(CKPT)
-        # fused qkv/upgate: fewer, larger kernel calls (+3 tok/s, BASELINE.md)
-        params = fuse_packed_stages(params, get_model_meta(family))
-        return params, cfg, True
+            params, cfg, family = load_packed(CKPT)
+            # fused qkv/upgate: fewer, larger kernel calls (+3 tok/s, BASELINE.md)
+            params = fuse_packed_stages(params, get_model_meta(family))
+            return params, cfg, True
+        except Exception as e:  # partial write from a killed pipeline run
+            print(f"bench: checkpoint {CKPT} unusable ({e!r}); "
+                  "falling back to the random builder", file=sys.stderr)
     cfg = LLAMA_PRESETS["llama2-7b"]
     return build_packed_model(cfg, key, fuse_stages=True), cfg, False
 
