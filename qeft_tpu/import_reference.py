@@ -179,6 +179,40 @@ def import_reference_packed(path: str, cfg) -> Tuple[Dict, str]:
     return params, "llama"
 
 
+def import_reference_wct(path: str, cfg, base_path: str = None) -> Tuple[Dict, str]:
+    """Reference WCT checkpoint (oweight-only overlay; save_wctmodel,
+    modelutils.py:270-284) -> our packed params with fine-tuned slabs.
+
+    ``base_path`` overrides the absolute base path stored in the checkpoint
+    (useful when the packed base was moved along with it)."""
+    import dataclasses as _dc
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert "oweight_state_dict" in ckpt, "not a reference WCT checkpoint"
+    params, family = import_reference_packed(
+        base_path or ckpt["base_path"], cfg
+    )
+    # keys are the module paths, e.g. model.layers.0.self_attn.q_proj
+    inv = {v.rstrip("."): k for k, v in _HF_LLAMA_LINEARS.items()}
+    for name, ow in ckpt["oweight_state_dict"].items():
+        parts = name.split(".")
+        i = int(parts[2])
+        ours = inv[".".join(parts[3:])]
+        lin = jax.tree.map(lambda a: a, params["layers"][ours])  # stacked
+        new_slab = jnp.asarray(
+            np.ascontiguousarray(np.asarray(ow, np.float32).T), jnp.bfloat16
+        )
+        params["layers"][ours] = _dc.replace(
+            lin, oweight=lin.oweight.at[i].set(new_slab)
+        )
+    return params, family
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("src", type=str, help="reference packed .pth/.pt")
@@ -186,6 +220,9 @@ def main(argv=None):
     parser.add_argument("--model", type=str, required=True,
                         help="preset name (llama2-7b, ...) or HF dir for the "
                              "config the checkpoint was produced from")
+    parser.add_argument("--base", type=str, default=None,
+                        help="packed base for a WCT checkpoint (overrides "
+                             "the absolute base_path stored inside)")
     args = parser.parse_args(argv)
 
     from qeft_tpu.checkpoint import save_packed
@@ -197,7 +234,13 @@ def main(argv=None):
         from qeft_tpu.models.hf_loader import config_from_hf
 
         cfg = config_from_hf(args.model)
-    params, family = import_reference_packed(args.src, cfg)
+    import torch
+
+    probe = torch.load(args.src, map_location="cpu", weights_only=False)
+    if "oweight_state_dict" in probe:
+        params, family = import_reference_wct(args.src, cfg, base_path=args.base)
+    else:
+        params, family = import_reference_packed(args.src, cfg)
     save_packed(args.dst, params, cfg, family=family)
     print(f"imported reference checkpoint -> {args.dst}.npz")
 

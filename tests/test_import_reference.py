@@ -152,3 +152,36 @@ def test_import_reference_checkpoint_end_to_end(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out2, np.float32), np.asarray(out, np.float32), rtol=1e-5
     )
+
+
+def test_import_reference_wct_overlay(tmp_path):
+    """Reference WCT (oweight-only) checkpoints overlay onto the imported
+    packed base; non-slab weights stay identical."""
+    import dataclasses
+
+    from qeft_tpu.import_reference import import_reference_wct
+    from qeft_tpu.models import LLAMA_PRESETS
+
+    cfg = dataclasses.replace(LLAMA_PRESETS["tiny"], hidden_size=256,
+                              intermediate_size=512, num_layers=2)
+    base_path, _ = _make_reference_ckpt(tmp_path, cfg)
+    base_params, _ = import_reference_packed(base_path, cfg)
+
+    rng = np.random.default_rng(1)
+    tuned = (rng.standard_normal((cfg.num_heads * cfg.head_dim, 8)) * 0.1).astype(np.float32)
+    wct_path = str(tmp_path / "wct.pth")
+    torch.save({
+        "oweight_state_dict": {
+            "model.layers.1.self_attn.q_proj": torch.from_numpy(tuned).to(torch.float16)
+        },
+        "base_path": base_path,
+    }, wct_path)
+
+    params, family = import_reference_wct(wct_path, cfg)
+    got = np.asarray(params["layers"]["q"].oweight[1], np.float32)
+    np.testing.assert_allclose(got, tuned.T, rtol=2e-2, atol=2e-3)
+    # untouched layer 0 slab matches the base import
+    np.testing.assert_array_equal(
+        np.asarray(params["layers"]["q"].oweight[0]),
+        np.asarray(base_params["layers"]["q"].oweight[0]),
+    )
