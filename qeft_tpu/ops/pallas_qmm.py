@@ -32,6 +32,7 @@ for prefill (qlinear.py:265-266).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -163,8 +164,13 @@ def _flatten_call(x: jax.Array, p: QLinearParams, bm: int, bn: int, dtype):
 
 
 def qgemv(x: jax.Array, p: QLinearParams, dtype=jnp.bfloat16) -> jax.Array:
-    """Decode path: few tokens, weight-streaming bound."""
-    return _flatten_call(x, p, bm=8, bn=512, dtype=dtype)
+    """Decode path: few tokens, weight-streaming bound.
+
+    QEFT_GEMV_BN overrides the N-tile width (default 512; the HBM->VMEM
+    burst per grid step is [K/8, BN] int32 — larger tiles mean fewer, bigger
+    bursts; scanned on-chip by scripts/tpu_kernel_bench.py)."""
+    bn = int(os.environ.get("QEFT_GEMV_BN", "512"))
+    return _flatten_call(x, p, bm=8, bn=bn, dtype=dtype)
 
 
 def qgemm(x: jax.Array, p: QLinearParams, dtype=jnp.bfloat16) -> jax.Array:
