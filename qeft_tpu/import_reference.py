@@ -35,15 +35,19 @@ Supports the canonical OGR (``--reorder``) checkpoints of the llama family
 from __future__ import annotations
 
 import argparse
+import functools
 from typing import Dict, Tuple
 
 import numpy as np
 
 
+@functools.lru_cache(maxsize=32)
 def _awq_nibble_source_map(n: int, k: int) -> np.ndarray:
     """[N//4, K, 4] array: original flat index (row-major [N, K]) of the code
     stored in nibble ``i`` of packed int16 (row, col).  Built by pushing an
-    index array through the reference's forward shuffle (qlinear.py:81-121)."""
+    index array through the reference's forward shuffle (qlinear.py:81-121).
+    Cached per shape: a 7B import calls this 224 times over 4 distinct
+    shapes, and each build is ~100 MB of index shuffling."""
     a = np.arange(n * k, dtype=np.int64).reshape(n, k)
     # 32-column [4, 4, 2] shuffle
     a = a.reshape(n, k // 32, 4, 4, 2).transpose(0, 1, 3, 2, 4).reshape(n, k // 32, 32)
@@ -111,20 +115,22 @@ _HF_LLAMA_LINEARS = {
 }
 
 
-def import_reference_packed(path: str, cfg) -> Tuple[Dict, str]:
+def import_reference_packed(path: str, cfg, ckpt: Dict = None) -> Tuple[Dict, str]:
     """Reference packed .pth -> (our packed params pytree, family).
 
     ``cfg``: the model's LlamaConfig (the reference checkpoint stores no
     config; its loader re-instantiates from the HF model name the same way,
-    modelutils.py:107-183)."""
-    import torch
-
+    modelutils.py:107-183).  ``ckpt``: the already-torch.loaded dict, when
+    the caller probed it — multi-GB checkpoints should deserialize once."""
     import jax
     import jax.numpy as jnp
 
     from qeft_tpu.quant.reorder import sparse_to_dense_ids
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if ckpt is None:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     assert ckpt.get("packing"), "not a packed reference checkpoint"
     sd = {k: v.numpy() if hasattr(v, "numpy") else v
           for k, v in ckpt["model_state_dict"].items()}
@@ -179,7 +185,9 @@ def import_reference_packed(path: str, cfg) -> Tuple[Dict, str]:
     return params, "llama"
 
 
-def import_reference_wct(path: str, cfg, base_path: str = None) -> Tuple[Dict, str]:
+def import_reference_wct(
+    path: str, cfg, base_path: str = None, ckpt: Dict = None
+) -> Tuple[Dict, str]:
     """Reference WCT checkpoint (oweight-only overlay; save_wctmodel,
     modelutils.py:270-284) -> our packed params with fine-tuned slabs.
 
@@ -187,12 +195,12 @@ def import_reference_wct(path: str, cfg, base_path: str = None) -> Tuple[Dict, s
     (useful when the packed base was moved along with it)."""
     import dataclasses as _dc
 
-    import torch
-
-    import jax
     import jax.numpy as jnp
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if ckpt is None:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     assert "oweight_state_dict" in ckpt, "not a reference WCT checkpoint"
     params, family = import_reference_packed(
         base_path or ckpt["base_path"], cfg
@@ -203,7 +211,12 @@ def import_reference_wct(path: str, cfg, base_path: str = None) -> Tuple[Dict, s
         parts = name.split(".")
         i = int(parts[2])
         ours = inv[".".join(parts[3:])]
-        lin = jax.tree.map(lambda a: a, params["layers"][ours])  # stacked
+        lin = params["layers"][ours]  # stacked [L, ...] leaves
+        if lin.oweight is None:
+            raise ValueError(
+                f"WCT overlay for '{name}' but the packed base has no "
+                "outlier slab there — wrong base checkpoint?"
+            )
         new_slab = jnp.asarray(
             np.ascontiguousarray(np.asarray(ow, np.float32).T), jnp.bfloat16
         )
@@ -236,11 +249,13 @@ def main(argv=None):
         cfg = config_from_hf(args.model)
     import torch
 
-    probe = torch.load(args.src, map_location="cpu", weights_only=False)
-    if "oweight_state_dict" in probe:
-        params, family = import_reference_wct(args.src, cfg, base_path=args.base)
+    ckpt = torch.load(args.src, map_location="cpu", weights_only=False)
+    if "oweight_state_dict" in ckpt:
+        params, family = import_reference_wct(
+            args.src, cfg, base_path=args.base, ckpt=ckpt
+        )
     else:
-        params, family = import_reference_packed(args.src, cfg)
+        params, family = import_reference_packed(args.src, cfg, ckpt=ckpt)
     save_packed(args.dst, params, cfg, family=family)
     print(f"imported reference checkpoint -> {args.dst}.npz")
 

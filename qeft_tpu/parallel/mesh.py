@@ -73,7 +73,9 @@ def _linear_spec(field: str, shard_n: bool, stacked: bool) -> P:
 
 def param_shardings(params: Dict, mesh: Mesh, meta: ModelMeta) -> Dict:
     """NamedSharding pytree matching ``params`` (packed or dense, stacked)."""
-    col = set(meta.qkv + meta.ffn1)  # column-parallel: shard N
+    # column-parallel: shard N (incl. the stage-fused names pack_model /
+    # fuse_packed_stages produce — their fused N dim is still residual-input)
+    col = set(meta.qkv + meta.ffn1) | {"qkv", "upgate"}
     row = set(meta.out + meta.ffn2)  # row-parallel: shard K
 
     def spec_for(path, leaf) -> P:
@@ -104,16 +106,25 @@ def param_shardings(params: Dict, mesh: Mesh, meta: ModelMeta) -> Dict:
     )
 
 
-def cache_shardings(mesh: Mesh, batch: int = 0, n_kv_heads: int = 0) -> Dict:
+def cache_shardings(
+    mesh: Mesh, batch: int = 0, n_kv_heads: int = 0, quantized: bool = False
+) -> Dict:
     """Head-major KV cache [L, B, H_kv, S, Dh]: batch over dp, heads over tp.
 
     Axes that don't divide the mesh (small batch, few GQA kv heads) fall back
-    to replication.
+    to replication.  ``quantized=True`` matches the int8 cache pytree
+    (init_kv_cache quantized / QEFT_KV_DTYPE=int8): the per-vector scale
+    planes [L, B, H_kv, S] shard the same way minus the Dh axis.
     """
     dp = "dp" if batch and batch % mesh.shape.get("dp", 1) == 0 else None
     tp = "tp" if n_kv_heads and n_kv_heads % mesh.shape.get("tp", 1) == 0 else None
-    spec = P(None, dp, tp, None, None)
-    return {"k": NamedSharding(mesh, spec), "v": NamedSharding(mesh, spec)}
+    spec = NamedSharding(mesh, P(None, dp, tp, None, None))
+    out = {"k": spec, "v": spec}
+    if quantized:
+        sspec = NamedSharding(mesh, P(None, dp, tp, None))
+        out["k_scale"] = sspec
+        out["v_scale"] = sspec
+    return out
 
 
 def shard_params(params: Dict, mesh: Mesh, meta: ModelMeta) -> Dict:

@@ -98,8 +98,18 @@ def host_local_batch(local_batch: np.ndarray, mesh: Mesh, axis: str = "dp"):
 
 def process_slice(n_global: int) -> slice:
     """Row range of a length-``n_global`` batch this process should feed
-    (contiguous block partitioning, matching host_local_batch's dp layout)."""
-    per = n_global // jax.process_count()
+    (contiguous block partitioning, matching host_local_batch's dp layout).
+
+    ``n_global`` must divide evenly — host_local_batch assembles equal-size
+    per-process shards, so a remainder would silently drop the trailing rows
+    of every batch; fail loudly instead."""
+    n_proc = jax.process_count()
+    if n_global % n_proc != 0:
+        raise ValueError(
+            f"global batch {n_global} must be divisible by process_count "
+            f"{n_proc} (pad or trim the batch explicitly)"
+        )
+    per = n_global // n_proc
     start = jax.process_index() * per
     return slice(start, start + per)
 

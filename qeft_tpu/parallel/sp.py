@@ -57,9 +57,12 @@ def _ring_attention(q, k, v, q_off, n_sp, dtype):
         acc, m, denom, kc, vc = state
         src = (p - r) % n_sp  # which global chunk this kc/vc is
         k_off = src * sl
-        kr = jnp.repeat(kc.astype(jnp.float32), rep, axis=1)  # [B, Hq, Sl, Dh]
-        vr = jnp.repeat(vc.astype(jnp.float32), rep, axis=1)
-        s = jnp.einsum("bhqd,bhkd->bhqk", qf, kr)
+        # GQA via grouped einsums — NOT jnp.repeat, which would materialize
+        # K/V at full Hq width (rep x the stored bytes) in the hot loop
+        kf = kc.astype(jnp.float32)  # [B, Hkv, Sl, Dh]
+        vf = vc.astype(jnp.float32)
+        qg = qf.reshape(b, hkv, rep, sl, dh)
+        s = jnp.einsum("bgrqd,bgkd->bgrqk", qg, kf).reshape(b, hq, sl, sl)
         qpos = q_off + jnp.arange(sl)
         kpos = k_off + jnp.arange(sl)
         causal = qpos[:, None] >= kpos[None, :]
@@ -68,7 +71,10 @@ def _ring_attention(q, k, v, q_off, n_sp, dtype):
         alpha = jnp.exp(m - m_new)  # rescale of the old accumulator
         pexp = jnp.exp(s - m_new[..., None])
         denom = denom * alpha + pexp.sum(axis=-1)
-        acc = acc * alpha[..., None] + jnp.einsum("bhqk,bhkd->bhqd", pexp, vr)
+        pv = jnp.einsum(
+            "bgrqk,bgkd->bgrqd", pexp.reshape(b, hkv, rep, sl, sl), vf
+        ).reshape(b, hq, sl, dh)
+        acc = acc * alpha[..., None] + pv
         kc, vc = jax.lax.ppermute(
             (kc, vc), "sp", [(i, (i + 1) % n_sp) for i in range(n_sp)]
         )
@@ -220,11 +226,15 @@ def llama_decode_step_sp(
                 k_read, v_read = kc, vc
                 new_c = {"k": kc, "v": vc}
 
-            # local flash partial over the shard's slab
+            # local flash partial over the shard's slab (GQA via grouped
+            # einsums, not a repeat that would materialize rep x the K/V bytes)
             qf = q.transpose(0, 2, 1, 3).astype(jnp.float32) * dh ** -0.5
-            kr = jnp.repeat(k_read.astype(jnp.float32), rep, axis=1)
-            vr = jnp.repeat(v_read.astype(jnp.float32), rep, axis=1)
-            s = jnp.einsum("bhqd,bhkd->bhqk", qf, kr)  # [B, Hq, 1, s_loc]
+            kf = k_read.astype(jnp.float32)  # [B, Hkv, s_loc, Dh]
+            vf = v_read.astype(jnp.float32)
+            qg = qf.reshape(b, hkv, rep, 1, dh)
+            s = jnp.einsum("bgrqd,bgkd->bgrqk", qg, kf).reshape(
+                b, hq, 1, s_loc
+            )  # [B, Hq, 1, s_loc]
             valid = (lo + jnp.arange(s_loc)) <= pos_
             s = jnp.where(valid[None, None, None, :], s, _NEG)
             m_loc = s.max(axis=-1)  # [B, Hq, 1]
@@ -233,7 +243,10 @@ def llama_decode_step_sp(
             pexp = jnp.exp(s - m_glob[..., None])
             denom = jax.lax.psum(pexp.sum(axis=-1), "sp")
             acc = jax.lax.psum(
-                jnp.einsum("bhqk,bhkd->bhqd", pexp, vr), "sp"
+                jnp.einsum(
+                    "bgrqk,bgkd->bgrqd", pexp.reshape(b, hkv, rep, 1, s_loc), vf
+                ).reshape(b, hq, 1, dh),
+                "sp",
             )
             ctx = (acc / jnp.maximum(denom, 1e-30)[..., None]).astype(dtype)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, hq * dh)

@@ -71,6 +71,8 @@ def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig) -> Dict:
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     def put(a, spec):
+        if a is None:  # e.g. packed with n_outlier=0: no fp slab
+            return None
         return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
 
     def put_col(lin: QLinearParams):
@@ -80,7 +82,7 @@ def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig) -> Dict:
             scales=put(lin.scales, P(None, None, "tp")),
             scaled_zeros=put(lin.scaled_zeros, P(None, None, "tp")),
             oweight=put(lin.oweight, P(None, None, "tp")),
-            bias=None,
+            bias=put(lin.bias, P(None, "tp")),  # N-sharded with the output
         )
 
     def put_row(lin: QLinearParams):
@@ -90,7 +92,9 @@ def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig) -> Dict:
             scales=put(lin.scales, P(None, None, None)),
             scaled_zeros=put(lin.scaled_zeros, P(None, None, None)),
             oweight=put(lin.oweight, P(None, None, None)),
-            bias=None,
+            # replicated; _row_parallel_apply adds it on the last shard only
+            # so the psum counts it exactly once
+            bias=put(lin.bias, P(None, None)),
         )
 
     rep = lambda a: put(a, P(*(None,) * a.ndim))
@@ -136,13 +140,20 @@ def _row_parallel_apply(lin: QLinearParams, x_full, my, tp, dtype):
         lin,
         scales=jax.lax.dynamic_slice_in_dim(lin.scales, my * gsh, gsh, axis=0),
         scaled_zeros=jax.lax.dynamic_slice_in_dim(lin.scaled_zeros, my * gsh, gsh, axis=0),
-        oweight=None, group_size=lin.group_size,
+        oweight=None, bias=None, group_size=lin.group_size,
     )
     part = apply_linear(local, x_my, dtype)
+    # slab + bias are NOT K-partitioned: add each once (last shard) so the
+    # caller's psum counts them exactly once, not tp times
+    last_shard = my == tp - 1
     if lin.oweight is not None:
         r = lin.oweight.shape[0]
         slab = jnp.matmul(x_full[..., -r:], lin.oweight.astype(x_full.dtype))
-        part = part + jnp.where(my == tp - 1, slab.astype(part.dtype), jnp.zeros_like(part))
+        part = part + jnp.where(last_shard, slab.astype(part.dtype), jnp.zeros_like(part))
+    if lin.bias is not None:
+        part = part + jnp.where(
+            last_shard, lin.bias.astype(part.dtype), jnp.zeros_like(lin.bias, part.dtype)
+        )
     return part
 
 
@@ -175,10 +186,11 @@ def tp_decode_step(
         else:
             qw = P(None, "tp", None)
             sc = ow = P(None, None, None)
+        bias_spec = P(None, "tp") if shard_n else P(None, None)
         return QLinearParams(
             qweight=qw, scales=sc, scaled_zeros=sc,
             oweight=ow if leaf.oweight is not None else None,
-            bias=P(None, "tp") if leaf.bias is not None else None,
+            bias=bias_spec if leaf.bias is not None else None,
             group_size=leaf.group_size,
         )
 

@@ -40,13 +40,16 @@ class Request:
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def _prefill_window_into_slot(params, window, cache, slot, pos, cfg: LlamaConfig):
+def _prefill_window_into_slot(params, window, cache, slot, pos, cfg: LlamaConfig,
+                              last_idx):
     """Prefill a WINDOW of one request directly into batch slot ``slot`` of
-    the FULL cache at offset ``pos``.  ``slot`` and ``pos`` are traced (one
-    compilation serves every slot/offset for a given window width) and the
-    cache is DONATED, so XLA aliases the buffers and the admission cost is
-    the slot write — independent of L x B x S (VERDICT round-1 weak #5
-    replaced a whole-cache `.at[].set` rebuild per admission)."""
+    the FULL cache at offset ``pos``.  ``slot``, ``pos`` and ``last_idx`` are
+    traced (one compilation serves every slot/offset for a given window
+    width) and the cache is DONATED, so XLA aliases the buffers and the
+    admission cost is the slot write — independent of L x B x S (VERDICT
+    round-1 weak #5 replaced a whole-cache `.at[].set` rebuild per
+    admission).  Returns the logits at window index ``last_idx`` (windows may
+    be right-padded past the real prompt)."""
     # generic over the cache leaves (batch is axis 1 of every leaf), so
     # quantized caches (k_scale/v_scale planes) serve unchanged
     slot_cache = {
@@ -60,27 +63,52 @@ def _prefill_window_into_slot(params, window, cache, slot, pos, cfg: LlamaConfig
         name: jax.lax.dynamic_update_slice_in_dim(leaf, new_slot[name], slot, axis=1)
         for name, leaf in cache.items()
     }
-    return logits[:, -1, :], cache
+    return logits[:, last_idx, :], cache
+
+
+def _bucket_width(s: int) -> int:
+    """Next power of two >= s (min 16): bounds the number of distinct
+    prefill-window compilations to O(log max_prompt_len)."""
+    b = 16
+    while b < s:
+        b *= 2
+    return b
 
 
 def _prefill_into_slot(params, prompt, cache, slot, cfg: LlamaConfig,
                        chunk: int = 0):
-    """Slot prefill, optionally CHUNKED: with ``chunk`` set, the prompt runs
-    through the cache in fixed-width windows so prefill activation memory is
-    bounded by the chunk, not the prompt (long-prompt admission never spikes
-    the engine's footprint).  Last ragged piece pads on the LEFT of the next
-    boundary — simpler: it just runs at its natural (smaller) width, costing
-    at most one extra compile per distinct tail width."""
+    """Slot prefill with a BOUNDED number of compiled window widths.
+
+    Every distinct window width is a fresh XLA compilation (width is a static
+    shape), so arbitrary per-request prompt lengths must not each trigger one:
+
+    - unchunked (default): the window right-pads to the next power of two.
+      Padded positions write garbage KV PAST the prompt, which is safe: the
+      decode step at position p overwrites p before attending, and positions
+      beyond the current pos are masked — garbage is always overwritten
+      before it can be attended.  Logits are taken at the true last prompt
+      index.  Compile count: O(log max_prompt_len).
+    - chunked (``chunk`` set): fixed-width windows bound prefill activation
+      memory; the ragged TAIL left-overlaps to exactly ``chunk`` width,
+      re-running a few already-cached positions (idempotent: same inputs
+      rewrite the same KV).  Compile count: 1.
+    """
     s = prompt.shape[1]
+    max_len = cache["k"].shape[3]
     if not chunk or s <= chunk:
+        w = min(_bucket_width(s), max_len)
+        window = jnp.pad(prompt, ((0, 0), (0, w - s)))
         return _prefill_window_into_slot(
-            params, prompt, cache, slot, jnp.int32(0), cfg
+            params, window, cache, slot, jnp.int32(0), cfg, jnp.int32(s - 1)
         )
     last = None
     for start in range(0, s, chunk):
+        if start + chunk > s:
+            start = s - chunk  # left-overlap the tail: constant window width
         piece = prompt[:, start : start + chunk]
         last, cache = _prefill_window_into_slot(
-            params, piece, cache, slot, jnp.int32(start), cfg
+            params, piece, cache, slot, jnp.int32(start), cfg,
+            jnp.int32(chunk - 1),
         )
     return last, cache
 

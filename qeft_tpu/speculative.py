@@ -189,8 +189,17 @@ def spec_round(
 
     cand = jnp.zeros((b, gamma), jnp.int32)
     pd = jnp.zeros((b, gamma, vocab), jnp.float32)
-    cand, pd, d_cache, _ = jax.lax.fori_loop(
+    cand, pd, d_cache, cur = jax.lax.fori_loop(
         0, gamma, draft_step, (cand, pd, d_cache, last)
+    )
+    # one extra draft step to WRITE cand[gamma-1]'s KV at base_pos+gamma: on a
+    # full-accept round the next round starts at base_pos+gamma+1 and this
+    # position would otherwise stay a permanent zero hole in the draft cache,
+    # silently degrading every later round's acceptance rate.  On partial
+    # acceptance the entry is stale but positionally masked until the next
+    # round overwrites it (same rollback argument as the module docstring).
+    _, d_cache = llama_decode_step_ragged(
+        draft_params, cur, d_cache, base_pos + gamma, cfg_d
     )
 
     # --- target: one ragged verify window per sequence

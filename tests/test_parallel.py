@@ -102,3 +102,43 @@ def test_param_shardings_with_runtime_reorder_ids():
     shardings = param_shardings(params, mesh, get_model_meta("llama"))
     spec = shardings["layers"]["q"].reorder_ids.spec
     assert all(axis is None for axis in spec), spec
+
+
+def test_fused_stage_packed_model_actually_shards():
+    """Regression: stage-fused packed models ('qkv'/'upgate' keys, the layout
+    fuse_packed_stages / pack_model(fuse_stages=True) produce) must get real
+    column-parallel shardings, not silent full replication."""
+    from qeft_tpu.testing import build_packed_model
+
+    cfg = LLAMA_PRESETS["tiny-v2"]
+    params = build_packed_model(cfg, jax.random.PRNGKey(0), fuse_stages=True)
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
+    shardings = param_shardings(params, mesh, META)
+    for name in ("qkv", "upgate"):
+        spec = shardings["layers"][name].qweight.spec
+        assert "tp" in spec, (name, spec)
+
+    # and the sharded forward still matches single-device (builder model is
+    # bf16 — GSPMD reduction-order drift is ~bf16 epsilon)
+    tokens = jnp.zeros((1, 4), jnp.int32)
+    ref = np.asarray(llama_forward(params, tokens, cfg), np.float32)
+    sharded = shard_params(params, mesh, META)
+    with jax.set_mesh(mesh):
+        out = np.asarray(
+            jax.jit(llama_forward, static_argnames="cfg")(sharded, tokens, cfg),
+            np.float32,
+        )
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.02)
+
+
+def test_cache_shardings_quantized_pytree():
+    """int8 KV caches ({k,v,k_scale,v_scale}) must shard without a pytree
+    structure mismatch."""
+    from qeft_tpu.models import init_kv_cache
+
+    mesh = make_mesh((2, 4))
+    cache = init_kv_cache(CFG, 2, 16, quantized=True)
+    sh = cache_shardings(mesh, batch=2, n_kv_heads=CFG.num_kv_heads, quantized=True)
+    out = jax.device_put(cache, sh)
+    assert set(out) == {"k", "v", "k_scale", "v_scale"}
+    assert out["k_scale"].sharding.spec == sh["k_scale"].spec

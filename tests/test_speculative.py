@@ -267,3 +267,29 @@ def test_batched_spec_sampled_matches_target_marginals():
             emp_t = np.bincount(tgt_toks[:, bi, pos], minlength=32) / n_trials
             tv = 0.5 * np.abs(emp_s - emp_t).sum()
             assert tv < 0.12, (bi, pos, tv)
+
+
+def test_spec_round_writes_draft_kv_for_every_drafted_position():
+    """Regression: on a full-accept round the next round starts at
+    base_pos+gamma+1, so the draft KV at base_pos+gamma (the last candidate's
+    position) must be written DURING the round — a zero hole there silently
+    degrades every later round's acceptance rate."""
+    from qeft_tpu.models.llama import llama_prefill
+    from qeft_tpu.speculative import spec_round
+
+    target, draft, prompt = setup()
+    t_cache = init_kv_cache(CFG, 1, 64, dtype=jnp.float32)
+    d_cache = init_kv_cache(CFG, 1, 64, dtype=jnp.float32)
+    t_logits, t_cache = llama_prefill(target, prompt, t_cache, CFG)
+    _, d_cache = llama_prefill(draft, prompt, d_cache, CFG)
+    last = jnp.argmax(t_logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+    s, gamma = prompt.shape[1], 4
+    base_pos = jnp.full((1,), s, jnp.int32)  # `last` sits at position s
+
+    _, _, _, d_cache = spec_round(
+        target, draft, last, t_cache, d_cache, base_pos, CFG, CFG, gamma,
+        SampleConfig(), True, jax.random.PRNGKey(0),
+    )
+    k = np.asarray(d_cache["k"])  # [L, B, H_kv, S, Dh]
+    for p in range(s, s + gamma + 1):
+        assert np.any(k[:, 0, :, p, :] != 0.0), f"draft KV hole at position {p}"

@@ -57,3 +57,35 @@ def test_tp_decode_matches_single_device():
             np.asarray(ref_cache["k"][:, :, :, 4]),
             rtol=2e-3, atol=2e-3,
         )
+
+
+def test_tp_decode_bias_and_no_outlier():
+    """Hardening: biased linears (col bias shards with N, row bias is added
+    exactly once across the psum) and linears packed WITHOUT an outlier slab
+    (oweight=None) must still match single-device decode."""
+    import dataclasses
+
+    packed = fused_packed()
+    packed = jax.tree.map(jnp.asarray, packed)
+    rng = np.random.default_rng(1)
+    layers = dict(packed["layers"])
+    for name in ("qkv", "o", "upgate", "down"):
+        lin = layers[name]
+        nl, n = lin.qweight.shape[0], lin.qweight.shape[-1]
+        bias = jnp.asarray(rng.normal(size=(nl, n)).astype(np.float32) * 0.1)
+        ow = None if name in ("upgate", "down") else lin.oweight
+        layers[name] = dataclasses.replace(lin, bias=bias, oweight=ow)
+    packed = dict(packed, layers=layers)
+
+    cache = init_kv_cache(CFG, 1, 16, dtype=jnp.float32)
+    prompt = jnp.asarray([[1, 2, 3, 4]])
+    _, cache = llama_prefill(packed, prompt, cache, CFG)
+    tok = jnp.asarray([[5]])
+    ref_logits, _ = llama_decode_step(packed, tok, cache, jnp.int32(4), CFG)
+
+    mesh = make_mesh((1, 2), axis_names=("dp", "tp"), devices=jax.devices()[:2])
+    sharded = tp_shard_packed_params(packed, mesh, CFG)
+    logits, _ = tp_decode_step(sharded, tok, jax.device_put(cache), jnp.int32(4), CFG, mesh)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-3, atol=2e-3,
+    )
