@@ -62,16 +62,20 @@ def main(argv=None):
     from qeft_tpu.models.llama import LLAMA_PRESETS, init_kv_cache, init_params
     from qeft_tpu.testing import build_packed_model
 
+    from qeft_tpu.models.api import get_model_api
+
     cfg = LLAMA_PRESETS[args.model]
     key = jax.random.PRNGKey(args.seed)
+    api = get_model_api("llama")
 
     if args.load:
         from qeft_tpu.checkpoint import load_model
 
         params, cfg, family = load_model(args.load)
-        assert family in ("llama", "gemma"), (
-            "run_benchmark drives the llama-family decode path; use "
-            "`main --load ... --benchmark` for other families"
+        api = get_model_api(family)
+        assert family in ("llama", "gemma") or args.method not in ("spec", "spec-batch"), (
+            "speculative methods ride the llama-family ragged verify window; "
+            "plain methods dispatch to any family"
         )
     elif args.method == "fp":
         params = init_params(cfg, key, dtype=jnp.bfloat16)
@@ -85,7 +89,7 @@ def main(argv=None):
     max_len = args.context + args.gen + (
         args.gamma + 1 if args.method in ("spec", "spec-batch") else 0
     )
-    cache = init_kv_cache(cfg, bsz, max_len, dtype=jnp.bfloat16)
+    cache = api.init_cache(cfg, bsz, max_len, dtype=jnp.bfloat16)
 
     sc = SampleConfig(
         greedy=not args.sample, temperature=args.temperature,
@@ -126,7 +130,7 @@ def main(argv=None):
             return telem
     else:
         def run():
-            out, _ = generate(params, prompt, cache, cfg, args.gen, sc)
+            out, _ = generate(params, prompt, cache, cfg, args.gen, sc, api=api)
             np.asarray(out)
             return None
 
@@ -139,7 +143,7 @@ def main(argv=None):
 
     result = {
         "method": args.method,
-        "model": args.model,
+        "model": args.load or args.model,
         "tokens_per_s": round(args.gen / best, 2),
         "ms_per_token": round(best / args.gen * 1e3, 3),
         "context": args.context,

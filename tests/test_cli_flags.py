@@ -85,3 +85,22 @@ def test_run_finetune_mmlu_callback(tmp_path):
     assert len(mmlu) >= 2  # periodic + final
     assert all(0.0 <= m["mmlu_accuracy"] <= 1.0 and m["mmlu_n"] == 6 for m in mmlu)
     assert os.path.exists(os.path.join(out, "wct_final.npz"))
+
+
+def test_run_benchmark_load_dispatches_family(tmp_path, capsys):
+    """run_benchmark --load on a non-llama packed checkpoint drives that
+    family's decode path (previously hard-asserted llama/gemma only)."""
+    from qeft_tpu.checkpoint import save_packed
+    from qeft_tpu.run_benchmark import main as rb_main
+    from tests.test_opt import CFG as OPT_CFG, _quantize_packed_opt
+
+    _, _, packed, _ = _quantize_packed_opt()
+    path = str(tmp_path / "opt_packed")
+    save_packed(path, packed, OPT_CFG, family="opt")
+    rb_main([
+        "--method", "qeft", "--load", path,
+        "--context", "4", "--gen", "4", "--reps", "1",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(out)
+    assert result["tokens_per_s"] > 0
