@@ -27,6 +27,22 @@ def random_packed_linear(key, k, n, g=128, r=128) -> QLinearParams:
 
 
 def build_packed_model(cfg: LlamaConfig, key, g=128, r=128, fuse_stages=False):
+    # Build on the HOST: the per-layer leaves plus their jnp.stack copy would
+    # transiently hold 2x the packed bytes — at 13B that OOMs a 16 GB chip
+    # before the benchmark even starts.  Callers device_put the final pytree
+    # once (one streamed transfer, no doubling).
+    if jax.default_backend() == "cpu":
+        # already host-resident; do NOT device_put — committing the leaves to
+        # cpu:0 would break shard_map tests over multi-device CPU meshes
+        return _build_packed_model_host(cfg, key, g, r, fuse_stages)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        host = _build_packed_model_host(cfg, key, g, r, fuse_stages)
+    # one explicit transfer (device_put with no target would leave the
+    # committed-to-CPU arrays where they are)
+    return jax.device_put(host, jax.local_devices()[0])
+
+
+def _build_packed_model_host(cfg: LlamaConfig, key, g, r, fuse_stages):
     d, f = cfg.hidden_size, cfg.intermediate_size
     hd = cfg.num_heads * cfg.head_dim
     hkv = cfg.num_kv_heads * cfg.head_dim
