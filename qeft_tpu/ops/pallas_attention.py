@@ -67,10 +67,12 @@ def decode_attention(
     v_scale: jax.Array = None,
 ) -> jax.Array:
     """With ``k_scale``/``v_scale`` the caches hold int8 codes: the kernel
-    streams HALF the KV bytes and applies the scales as row multiplies on the
-    [rep, blk] score/probability tiles — K's scale folds into the score
-    columns, V's folds into the probability columns before the PV dot, so no
-    dequantized K/V tile is ever materialized."""
+    streams HALF the KV bytes and folds the per-vector scales into the f32
+    K/V tiles as [blk, 1] sublane broadcasts before each dot (the tiles are
+    already materialized in f32 for the MXU, so this adds no bytes).  The
+    scales ride as ``[B*H_kv, S, 1]`` so their (blk, 1) trailing block dims
+    are Mosaic-legal at any cache size (a 2D ``(1, blk)`` block is rejected
+    whenever blk < S: the sublane dim 1 is neither 8-aligned nor full)."""
     b, h, d = q.shape
     _, hkv, s_max, _ = k_cache.shape
     n_rep = h // hkv
@@ -110,12 +112,13 @@ def decode_attention(
             qt = q_ref[:].astype(jnp.float32).reshape(n_rep, d)
             kt = k_ref.at[0][:].astype(jnp.float32)  # [blk, D]
             vt = v_ref.at[0][:].astype(jnp.float32)
+            if quantized:  # [blk, 1] per-vector scales broadcast over lanes
+                kt = kt * ks_ref.at[0][:]
+                vt = vt * vs_ref.at[0][:]
             scores = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [rep, blk]
-            if quantized:
-                scores = scores * ks_ref[:]  # [1, blk] K scales fold in here
             valid = (
                 s_idx * blk
                 + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
@@ -127,8 +130,6 @@ def decode_attention(
             p = jnp.exp(scores - m_new)  # [rep, blk]
             alpha = jnp.exp(m_prev - m_new)
             l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            if quantized:
-                p = p * vs_ref[:]  # V scales fold into the prob columns
             pv = jnp.dot(p, vt, preferred_element_type=jnp.float32)  # [rep, D]
             acc_ref[:] = acc_ref[:] * alpha + pv
             m_ref[:] = m_new
@@ -142,9 +143,6 @@ def decode_attention(
         # pallas pipeline skips the DMA when the block index doesn't change
         return (bi, jnp.minimum(si, pos_ref[0] // blk), 0)
 
-    def clamp_idx2(bi, si, pos_ref):
-        return (bi, jnp.minimum(si, pos_ref[0] // blk))
-
     in_specs = [
         pl.BlockSpec((1, 1, n_rep * d), lambda bi, si, pos_ref: (bi, 0, 0)),
         pl.BlockSpec((1, blk, d), clamp_idx),
@@ -152,10 +150,10 @@ def decode_attention(
     ]
     operands = [qf, kf, vf]
     if quantized:
-        in_specs += [pl.BlockSpec((1, blk), clamp_idx2)] * 2
+        in_specs += [pl.BlockSpec((1, blk, 1), clamp_idx)] * 2
         operands += [
-            k_scale.reshape(b * hkv, s_max).astype(jnp.float32),
-            v_scale.reshape(b * hkv, s_max).astype(jnp.float32),
+            k_scale.reshape(b * hkv, s_max, 1).astype(jnp.float32),
+            v_scale.reshape(b * hkv, s_max, 1).astype(jnp.float32),
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -31,6 +31,10 @@ def main(argv=None):
                         choices=["fp", "qeft", "qeft-x", "spec", "spec-batch"])
     parser.add_argument("--model", type=str, default="llama2-7b")
     parser.add_argument("--draft_model", type=str, default="tiny-v2")
+    parser.add_argument("--draft_layers", type=int, default=0,
+                        help="SELF-speculative draft: slice this many evenly-"
+                             "strided layers out of the target itself (shares "
+                             "all weights; overrides --draft_model)")
     parser.add_argument("--load", type=str, default="")
     parser.add_argument("--context", type=int, default=64)
     parser.add_argument("--gen", type=int, default=256)
@@ -102,8 +106,13 @@ def main(argv=None):
             speculative_generate_sampled,
         )
 
-        dcfg = LLAMA_PRESETS[args.draft_model]
-        draft = init_params(dcfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+        if args.draft_layers:
+            from qeft_tpu.speculative import layer_sliced_draft
+
+            draft, dcfg = layer_sliced_draft(params, cfg, args.draft_layers)
+        else:
+            dcfg = LLAMA_PRESETS[args.draft_model]
+            draft = init_params(dcfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
         d_cache = init_kv_cache(dcfg, bsz, max_len, dtype=jnp.bfloat16)
 
         def run():
@@ -155,6 +164,10 @@ def main(argv=None):
     if telem is not None:
         result["mean_accept_length"] = round(float(telem["mean_accept_length"]), 3)
         result["rounds"] = int(telem["rounds"])
+        result["draft"] = (
+            f"self:{args.draft_layers}-layers" if args.draft_layers
+            else args.draft_model
+        )
     print(json.dumps(result))
     if args.logfile:
         with open(args.logfile, "a") as f:

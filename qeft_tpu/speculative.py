@@ -88,6 +88,35 @@ def _single_seq_telemetry(tel):
     }
 
 
+def layer_sliced_draft(params: Dict, cfg: LlamaConfig, n_layers: int):
+    """SELF-speculative draft: a depth-sliced view of the target itself.
+
+    Keeps ``n_layers`` evenly-strided decoder layers (always including the
+    first and last) plus the target's own embed/final_ln/lm_head, so the
+    draft shares every weight with the target — zero extra HBM beyond its own
+    KV cache — yet stays strongly correlated with the target's predictions
+    (LayerSkip-style early exit, but over a strided subnetwork).  This is a
+    capability the reference cannot offer: its draft must be a separate HF
+    model (`_assisted_decoding` assistant_model, ftllama_generate.py:357-449),
+    doubling weight memory; here the stacked [L, ...] layer pytree makes a
+    strided slice a metadata-cheap gather.
+
+    Works for dense and packed params alike (QLinearParams leaves and the
+    o_reorder gather table all stack on axis 0).  Returns (draft_params,
+    draft_cfg)."""
+    import dataclasses
+
+    import numpy as np
+
+    assert 1 <= n_layers <= cfg.num_layers
+    idx = jnp.asarray(
+        np.unique(np.round(np.linspace(0, cfg.num_layers - 1, n_layers)).astype(np.int32))
+    )
+    draft = dict(params)
+    draft["layers"] = jax.tree.map(lambda a: a[idx], params["layers"])
+    return draft, dataclasses.replace(cfg, num_layers=int(idx.size))
+
+
 def speculative_generate(
     target_params: Dict,
     draft_params: Dict,

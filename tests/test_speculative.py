@@ -293,3 +293,35 @@ def test_spec_round_writes_draft_kv_for_every_drafted_position():
     k = np.asarray(d_cache["k"])  # [L, B, H_kv, S, Dh]
     for p in range(s, s + gamma + 1):
         assert np.any(k[:, 0, :, p, :] != 0.0), f"draft KV hole at position {p}"
+
+
+def test_layer_sliced_self_draft():
+    """Self-speculative drafts (layer_sliced_draft): a FULL-depth slice is the
+    target itself, so greedy acceptance must be perfect (gamma per round); a
+    partial slice must produce a runnable draft with the right depth and the
+    generator must still emit the target's exact greedy sequence."""
+    from qeft_tpu.speculative import layer_sliced_draft
+
+    cfg = LLAMA_PRESETS["tiny-v2"]
+    target = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 6)))
+
+    full, full_cfg = layer_sliced_draft(target, cfg, cfg.num_layers)
+    t_cache = init_kv_cache(cfg, 1, 64, dtype=jnp.float32)
+    d_cache = init_kv_cache(full_cfg, 1, 64, dtype=jnp.float32)
+    out, tel = speculative_generate(
+        target, full, prompt, t_cache, d_cache, cfg, full_cfg, 16, gamma=4
+    )
+    assert float(tel["mean_accept_length"]) == 4.0
+
+    sliced, dcfg = layer_sliced_draft(target, cfg, 2)
+    assert dcfg.num_layers == 2
+    assert jax.tree.leaves(sliced["layers"])[0].shape[0] == 2
+    t_cache = init_kv_cache(cfg, 1, 64, dtype=jnp.float32)
+    d_cache = init_kv_cache(dcfg, 1, 64, dtype=jnp.float32)
+    out2, _ = speculative_generate(
+        target, sliced, prompt, t_cache, d_cache, cfg, dcfg, 16, gamma=4
+    )
+    # regardless of draft quality the emitted tokens ARE the target's greedy
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(out))
