@@ -1,0 +1,185 @@
+"""Decode-step time decomposition on the real 7B checkpoint.
+
+bench.py shows ~15.3 ms/token while the pure weight-stream floor is ~11.5 ms
+(3.86 GB at the chip's measured ~335 GB/s): ~25% of each step is NOT weight
+streaming.  This probe measures where it goes, all inside single jits
+(fori_loop/scan) so tunnel dispatch amortizes:
+
+  full       — llama_decode_step + argmax, cache carried through the loop
+  matvec     — the four stage-fused projections scanned over all layers +
+               lm_head: the kernel-only weight-streaming floor
+  no_lmhead  — full step with a 128-column lm_head (delta = lm_head cost)
+  attn       — decode attention alone over the real-size cache (incl. the
+               KV write), XLA vs Pallas paths
+
+residual = full - matvec - attn - lm_head ~= norms + rope + embed + gathers
++ per-kernel entry/exit overhead.
+
+Knobs: QEFT_BENCH_MAXLEN (default 512), QEFT_KV_DTYPE=int8, QEFT_PALLAS_ATTN.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from qeft_tpu.checkpoint import load_packed
+from qeft_tpu.models.llama import apply_linear, init_kv_cache, llama_decode_step
+from qeft_tpu.models.registry import get_model_meta
+from qeft_tpu.pipeline import fuse_packed_stages
+
+CKPT = os.environ.get(
+    "QEFT_BENCH_CKPT", "/root/repo/ckpt/llama2_7b_w4g128r128_packed"
+)
+MAX_LEN = int(os.environ.get("QEFT_BENCH_MAXLEN", "512"))
+POS = MAX_LEN - 2  # steady-state decode position
+ITERS = 64
+
+params, cfg, family = load_packed(CKPT)
+params = fuse_packed_stages(params, get_model_meta(family))
+params = jax.device_put(params)
+quant_kv = os.environ.get("QEFT_KV_DTYPE", "").lower() == "int8"
+
+
+def timeit(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best / ITERS
+
+
+# --- full decode step ------------------------------------------------------
+cache = init_kv_cache(cfg, 1, MAX_LEN, dtype=jnp.bfloat16)
+
+
+@jax.jit
+def full_loop(params, cache):
+    def body(i, carry):
+        tok, cache = carry
+        logits, cache = llama_decode_step(params, tok, cache, jnp.int32(POS), cfg)
+        return jnp.argmax(logits, -1).astype(jnp.int32)[:, None], cache
+
+    return jax.lax.fori_loop(0, ITERS, body, (jnp.zeros((1, 1), jnp.int32), cache))
+
+
+t_full = timeit(full_loop, params, cache)
+
+# --- weight-streaming floor: projections only ------------------------------
+d, f = cfg.hidden_size, cfg.intermediate_size
+hq, dh = cfg.num_heads, cfg.head_dim
+x_d = jnp.zeros((1, d), jnp.bfloat16)
+x_q = jnp.zeros((1, hq * dh), jnp.bfloat16)
+x_f = jnp.zeros((1, f), jnp.bfloat16)
+layers = params["layers"]
+proj_in = [("qkv", x_d), ("o", x_q), ("upgate", x_d), ("down", x_f)]
+proj_in = [(n, x) for n, x in proj_in if n in layers]
+
+
+@jax.jit
+def matvec_loop(layers, lm_head):
+    def step(i, acc):
+        def one(name, x):
+            def body(c, lin):
+                y = apply_linear(lin, x)
+                return c + y[0, 0].astype(jnp.float32), None
+
+            lin_stack = layers[name]
+            c, _ = jax.lax.scan(body, jnp.float32(0), lin_stack)
+            return c
+
+        acc = acc + sum(one(n, x) for n, x in proj_in)
+        return acc + jnp.matmul(x_d, lm_head)[0, 0].astype(jnp.float32)
+
+    return jax.lax.fori_loop(0, ITERS, step, jnp.float32(0))
+
+
+lm = params["lm_head"]
+t_matvec = timeit(matvec_loop, {n: layers[n] for n, _ in proj_in}, lm)
+
+# --- lm_head cost ----------------------------------------------------------
+small = dict(params, lm_head=lm[:, :128])
+
+
+@jax.jit
+def nolm_loop(params, cache):
+    def body(i, carry):
+        tok, cache = carry
+        logits, cache = llama_decode_step(params, tok, cache, jnp.int32(POS), cfg)
+        return (jnp.argmax(logits, -1) % 128).astype(jnp.int32)[:, None], cache
+
+    return jax.lax.fori_loop(0, ITERS, body, (jnp.zeros((1, 1), jnp.int32), cache))
+
+
+t_nolm = timeit(nolm_loop, small, cache)
+
+# --- attention alone -------------------------------------------------------
+hkv = cfg.num_kv_heads
+q = jnp.zeros((1, hq, dh), jnp.bfloat16)
+kv_new = jnp.zeros((1, hkv, 1, dh), jnp.bfloat16)
+kc = jnp.zeros((cfg.num_layers, 1, hkv, MAX_LEN, dh), jnp.bfloat16)
+
+
+def attn_loop_factory(pallas: bool):
+    if pallas:
+        from qeft_tpu.ops.pallas_attention import decode_attention
+
+        def attend(k_all, v_all):
+            return decode_attention(q, k_all, v_all, jnp.int32(POS))
+    else:
+        from qeft_tpu.models.llama import _attention
+
+        valid = jnp.arange(MAX_LEN)[None, None, None, :] <= POS
+        mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
+
+        def attend(k_all, v_all):
+            # q as [B, Sq=1, H, Dh]
+            return _attention(
+                q[:, None], k_all, v_all, mask, hq // hkv, jnp.bfloat16
+            )
+
+    @jax.jit
+    def attn_loop(kc, vc):
+        def step(i, carry):
+            kc, vc, acc = carry
+
+            def body(c, kv):
+                k_l, v_l = kv
+                k_l = jax.lax.dynamic_update_slice(k_l, kv_new, (0, 0, POS, 0))
+                v_l = jax.lax.dynamic_update_slice(v_l, kv_new, (0, 0, POS, 0))
+                ctx = attend(k_l, v_l)
+                return c + jnp.sum(ctx.astype(jnp.float32)), (k_l, v_l)
+
+            acc2, _ = jax.lax.scan(body, jnp.float32(0), (kc, vc))
+            return kc, vc, acc + acc2
+
+        return jax.lax.fori_loop(0, ITERS, step, (kc, vc, jnp.float32(0)))[2]
+
+    return attn_loop
+
+
+t_attn_xla = timeit(attn_loop_factory(False), kc, kc)
+t_attn_pal = timeit(attn_loop_factory(True), kc, kc)
+
+lm_cost = t_full - t_nolm
+t_attn = min(t_attn_xla, t_attn_pal)
+residual = t_full - t_matvec - t_attn
+print(f"cache slots {MAX_LEN}, pos {POS}, int8_kv={quant_kv}")
+print(f"full step        : {t_full*1e3:8.3f} ms/token  ({1/t_full:6.1f} tok/s)")
+print(f"matvec floor     : {t_matvec*1e3:8.3f} ms  ({t_matvec/t_full*100:4.1f}%)")
+print(f"lm_head (delta)  : {lm_cost*1e3:8.3f} ms  ({lm_cost/t_full*100:4.1f}%)")
+print(f"attention xla    : {t_attn_xla*1e3:8.3f} ms  ({t_attn_xla/t_full*100:4.1f}%)")
+print(f"attention pallas : {t_attn_pal*1e3:8.3f} ms  ({t_attn_pal/t_full*100:4.1f}%)")
+print(f"residual (norms/rope/embed/overhead): {residual*1e3:8.3f} ms  "
+      f"({residual/t_full*100:4.1f}%)")

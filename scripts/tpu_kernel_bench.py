@@ -1,6 +1,9 @@
 """Device-time kernel benchmark: loops inside one jit so tunnel dispatch
 latency amortizes away."""
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
