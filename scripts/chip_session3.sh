@@ -13,7 +13,9 @@ set -uo pipefail
 cd /root/repo
 LOG=ckpt/chip_session3.log
 mkdir -p ckpt
-export PYTHONPATH=/root/repo
+# APPEND to PYTHONPATH: /root/.axon_site must stay first or the axon TPU
+# plugin's sitecustomize never registers and every jax import dies
+export PYTHONPATH="${PYTHONPATH:+$PYTHONPATH:}/root/repo"
 
 echo "=== chip session 3 $(date -u) ===" >> "$LOG"
 

@@ -3,7 +3,7 @@ latency amortizes away."""
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.append("/root/repo")
 
 import jax
 import jax.numpy as jnp
