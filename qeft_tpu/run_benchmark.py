@@ -28,7 +28,8 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--method", type=str, default="qeft",
-                        choices=["fp", "qeft", "qeft-x", "spec", "spec-batch"])
+                        choices=["fp", "qeft", "qeft-x", "spec", "spec-batch",
+                                 "engine"])
     parser.add_argument("--model", type=str, default="llama2-7b")
     parser.add_argument("--draft_model", type=str, default="tiny-v2")
     parser.add_argument("--draft_layers", type=int, default=0,
@@ -40,7 +41,12 @@ def main(argv=None):
     parser.add_argument("--gen", type=int, default=256)
     parser.add_argument("--gamma", type=int, default=4)
     parser.add_argument("--batch", type=int, default=4,
-                        help="sequences for --method spec-batch")
+                        help="sequences for --method spec-batch; engine slots "
+                             "for --method engine")
+    parser.add_argument("--requests", type=int, default=0,
+                        help="engine: total requests to serve (default 2x batch)")
+    parser.add_argument("--burst", type=int, default=16,
+                        help="engine: decode ticks per host sync")
     parser.add_argument("--sample", action="store_true",
                         help="sampling instead of greedy (spec: speculative "
                              "sampling with exact target distribution)")
@@ -86,6 +92,48 @@ def main(argv=None):
     else:
         params = build_packed_model(cfg, key, fuse_stages=args.fuse_stages)
     params = jax.device_put(params)
+
+    if args.method == "engine":
+        # continuous-batching serving throughput: `requests` prompts of
+        # `context` tokens, `gen` new tokens each, over `batch` slots with
+        # `burst` decode ticks per host sync
+        from qeft_tpu.serving import Engine, Request
+
+        n_req = args.requests or 2 * args.batch
+        rng_np = np.random.default_rng(args.seed)
+        prompts = [
+            rng_np.integers(0, cfg.vocab_size, size=args.context)
+            for _ in range(n_req)
+        ]
+        max_len = args.context + args.gen + 1
+
+        def serve():
+            eng = Engine(params, cfg, max_batch=args.batch, max_len=max_len,
+                         sample_config=SampleConfig(greedy=not args.sample),
+                         burst=args.burst)
+            for i, p in enumerate(prompts):
+                eng.submit(Request(request_id=i, prompt=p,
+                                   max_new_tokens=args.gen))
+            return eng.run()
+
+        serve()  # compile + warmup
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            done = serve()
+            best = min(best, time.perf_counter() - t0)
+        total_tokens = sum(len(r.output) for r in done)
+        result = {
+            "method": "engine", "model": args.load or args.model,
+            "requests": n_req, "slots": args.batch, "burst": args.burst,
+            "context": args.context, "gen": args.gen,
+            "served_tokens_per_s": round(total_tokens / best, 2),
+        }
+        print(json.dumps(result))
+        if args.logfile:
+            with open(args.logfile, "a") as f:
+                f.write(json.dumps(result) + "\n")
+        return
 
     bsz = args.batch if args.method == "spec-batch" else 1
     prompt = jax.random.randint(key, (bsz, args.context), 0, cfg.vocab_size, jnp.int32)

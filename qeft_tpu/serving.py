@@ -122,6 +122,30 @@ def _decode_batch(params, tokens, cache, pos, cfg: LlamaConfig,
     return _sample_token(logits, key, sc), cache
 
 
+@partial(jax.jit, static_argnames=("cfg", "sc", "n"), donate_argnames=("cache",))
+def _decode_burst(params, tokens, cache, pos, cfg: LlamaConfig,
+                  sc: SampleConfig, n: int, key):
+    """``n`` ragged decode ticks in ONE jit (a `fori_loop`): the engine pays
+    one host<->device round-trip per BURST instead of per token.  Slots that
+    finish (EOS / length) mid-burst keep decoding; the host truncates their
+    outputs at harvest — bounded waste traded for n-fold fewer syncs (on a
+    relay-tunneled chip the per-call sync costs ~3x the decode step itself;
+    BASELINE.md per-token protocol: 48 ms synced vs 15.8 ms in-loop)."""
+    out = jnp.zeros((tokens.shape[0], n), jnp.int32)
+
+    def body(i, carry):
+        tokens, cache, pos, out, key = carry
+        key, sub = jax.random.split(key)
+        logits, cache = llama_decode_step_ragged(params, tokens, cache, pos, cfg)
+        nxt = _sample_token(logits, sub, sc)  # [B]
+        return nxt[:, None], cache, pos + 1, out.at[:, i].set(nxt), key
+
+    _, cache, _, out, _ = jax.lax.fori_loop(
+        0, n, body, (tokens, cache, pos, out, key)
+    )
+    return out, cache
+
+
 class Engine:
     """Continuous-batching engine (single host, single or sharded chip).
 
@@ -139,6 +163,7 @@ class Engine:
         sample_config: SampleConfig = SampleConfig(greedy=True),
         rng_seed: int = 0,
         prefill_chunk: int = 0,
+        burst: int = 1,
     ):
         self.params = params
         self.cfg = cfg
@@ -148,6 +173,7 @@ class Engine:
         self.sc = sample_config
         self.key = jax.random.PRNGKey(rng_seed)
         self.prefill_chunk = prefill_chunk
+        self.burst = burst
         self.cache = init_kv_cache(cfg, max_batch, max_len, dtype=cache_dtype)
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.pos = np.zeros((max_batch,), np.int32)
@@ -210,14 +236,38 @@ class Engine:
             self.pos[slot] = 0
 
     def step(self):
-        """One engine tick: admit waiting requests, decode one token for every
-        active slot, retire finished sequences."""
+        """One engine tick: admit waiting requests, decode ``burst`` tokens
+        for every active slot in one device dispatch, retire finished
+        sequences.  With burst > 1 a slot that finishes mid-burst occupies
+        its slot until the burst ends (its surplus tokens are discarded at
+        harvest; surplus KV writes are positionally masked and overwritten
+        by the next admission's prefill) — the classic continuous-batching
+        granularity trade, bought for burst-fold fewer host syncs."""
         self._admit()
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
             return False
         tokens = jnp.asarray(self.cur_token)
         pos = jnp.asarray(self.pos)
+        if self.burst > 1:
+            out, self.cache = _decode_burst(
+                self.params, tokens, self.cache, pos, self.cfg, self.sc,
+                self.burst, self._next_key(),
+            )
+            out = np.asarray(out)
+            for slot in active:
+                req = self.slots[slot]
+                room = self.max_len - self._retire_slack - self.pos[slot]
+                n_valid = min(self.burst,
+                              req.max_new_tokens - len(req.output), room)
+                for t in out[slot, :n_valid]:
+                    req.output.append(int(t))
+                    self.pos[slot] += 1
+                    if self.eos_id is not None and int(t) == self.eos_id:
+                        break
+                self.cur_token[slot, 0] = req.output[-1]
+                self._maybe_finish(slot)
+            return True
         nxt, self.cache = _decode_batch(
             self.params, tokens, self.cache, pos, self.cfg, self.sc,
             self._next_key(),

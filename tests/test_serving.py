@@ -188,3 +188,29 @@ def test_chunked_prefill_equals_whole_prefill():
         return {r.request_id: r.output for r in eng.run()}
 
     assert run(0) == run(4)
+
+
+def test_engine_burst_matches_per_tick_engine():
+    """burst>1 (n decode ticks per host sync) must serve byte-identical
+    outputs to the per-tick engine, including EOS retirement mid-burst and
+    slot reuse under a small batch."""
+    params = init_params(CFG, jax.random.PRNGKey(1), dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, CFG.vocab_size, size=n) for n in (4, 6, 3, 5)]
+    n_new = [7, 3, 6, 5]
+
+    def serve(burst, eos=None):
+        eng = Engine(params, CFG, max_batch=2, max_len=32,
+                     cache_dtype=jnp.float32, eos_id=eos, burst=burst)
+        for i, (p, n) in enumerate(zip(prompts, n_new)):
+            eng.submit(Request(request_id=i, prompt=p, max_new_tokens=n))
+        return {r.request_id: r.output for r in eng.run()}
+
+    assert serve(4) == serve(1)
+
+    # EOS: pick the first greedy token of request 0 so it retires mid-burst
+    cache = init_kv_cache(CFG, 1, 32, dtype=jnp.float32)
+    ref, _ = generate(params, jnp.asarray(prompts[0][None, :]), cache, CFG, 1,
+                      SampleConfig())
+    eos = int(np.asarray(ref)[0, 0])
+    assert serve(4, eos=eos) == serve(1, eos=eos)
