@@ -92,11 +92,17 @@ def measure_hbm_bw() -> float:
         # r is TRACED so the loop cannot unroll into a foldable x+const chain
         return jax.lax.fori_loop(0, r, lambda i, a: a + jnp.bfloat16(1.0), x)
 
-    jax.block_until_ready(stream(arr, reps))  # compile
+    def run():
+        # fetch ONE element: on the relayed chip block_until_ready is not a
+        # reliable completion barrier; only a data pull proves the loop ran,
+        # and the fetched element depends on every iteration
+        return np.asarray(stream(arr, reps).ravel()[:1])
+
+    run()  # compile
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(stream(arr, reps))
+        run()
         best = min(best, time.perf_counter() - t0)
     return 2.0 * arr.size * arr.dtype.itemsize * reps / best
 

@@ -222,7 +222,10 @@ def main():
             tick = time.perf_counter()
             logits, cache = step(params, input_ids[:, i:i + 1], cache,
                                  jnp.int32(i), cfg)
-            jax.block_until_ready(logits)
+            # one-element data pull: the reference's per-token
+            # torch.cuda.synchronize equivalent — on the relayed chip
+            # block_until_ready is not a reliable completion barrier
+            np.asarray(logits[0, :1])
             times.append(time.perf_counter() - tick)
             if i != n - 1:
                 tot += float(nll(logits, input_ids[0, i + 1]))

@@ -49,15 +49,43 @@ params = jax.device_put(params)
 quant_kv = os.environ.get("QEFT_KV_DTYPE", "").lower() == "int8"
 
 
+def _small(out):
+    """A tiny leaf of ``out`` to fetch host-side.  On the relayed chip
+    ``block_until_ready`` is NOT a reliable completion barrier (session-3 [B]
+    measured a 64-step 7B decode loop at 0.13 ms total); only an actual data
+    pull (np.asarray) proves the computation ran.  Every timed loop here
+    returns a value data-dependent on ALL its iterations, so fetching one
+    scalar forces the whole chain."""
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf.ravel()[:1])
+
+
+def _null_rtt() -> float:
+    """Dispatch + 1-scalar fetch round-trip through the relay: the fixed
+    per-measurement cost to subtract."""
+    g = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8, 128), jnp.float32)
+    _small(g(x))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _small(g(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+RTT = _null_rtt()
+print(f"null dispatch+fetch RTT: {RTT*1e3:.1f}ms")
+
+
 def timeit(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile
+    _small(fn(*args))  # compile
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _small(fn(*args))
         best = min(best, time.perf_counter() - t0)
-    return best / ITERS
+    return max(best - RTT, 1e-9) / ITERS
 
 
 # --- full decode step ------------------------------------------------------

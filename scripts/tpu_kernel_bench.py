@@ -24,31 +24,63 @@ p = QLinearParams(qweight=qweight, scales=scales, scaled_zeros=szeros,
                   oweight=ow, bias=None, group_size=G)
 
 
+# On the relayed chip ``block_until_ready`` is NOT a reliable completion
+# barrier (session-3 measured a 64-step 7B decode loop at 0.13 ms "total");
+# only fetching data (np.asarray) proves the computation ran.  Every timed
+# loop's carry is data-dependent on all iterations, so fetching one element
+# forces the whole chain; the fixed dispatch+fetch RTT is subtracted.
+def _fetch1(y):
+    return np.asarray(y.ravel()[:1])
+
+
+def _null_rtt() -> float:
+    g = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8, 128), jnp.float32)
+    _fetch1(g(x))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _fetch1(g(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+RTT = None
+
+
 def bench(f, x, iters):
+    global RTT
+    if RTT is None:
+        RTT = _null_rtt()
+        print(f"null dispatch+fetch RTT: {RTT*1e3:.1f}ms", flush=True)
+
     def body(i, carry):
         y = f(carry)
         return carry + (y[..., :1] * 0).astype(carry.dtype)
 
     g = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))
     t0 = time.perf_counter()
-    g(x).block_until_ready()
+    _fetch1(g(x))
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    g(x).block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _fetch1(g(x))
+        best = min(best, time.perf_counter() - t0)
+    dt = max(best - RTT, 1e-9) / iters
     return dt, compile_s
 
 
 x = jnp.asarray(rng.normal(size=(1, K)), dtype=jnp.bfloat16)
 wbytes = K * N // 2 + 2 * (K // G) * N * 2 + R * N * 2
 
-t, c = bench(lambda x: qgemv(x, p), x, 50)
+t, c = bench(lambda x: qgemv(x, p), x, 400)
 print(f"gemv pallas: {t*1e6:.1f}us  BW: {wbytes/t/1e9:.0f}GB/s  (compile {c:.1f}s)", flush=True)
-t, c = bench(lambda x: qlinear_xla(x, p), x, 50)
+t, c = bench(lambda x: qlinear_xla(x, p), x, 400)
 print(f"gemv xla:    {t*1e6:.1f}us  BW: {wbytes/t/1e9:.0f}GB/s  (compile {c:.1f}s)", flush=True)
 
 wd = jnp.asarray(rng.normal(size=(K, N)), dtype=jnp.bfloat16)
-t, c = bench(lambda x: jnp.matmul(x, wd), x, 50)
+t, c = bench(lambda x: jnp.matmul(x, wd), x, 400)
 print(f"dense bf16 matvec: {t*1e6:.1f}us  BW: {K*N*2/t/1e9:.0f}GB/s", flush=True)
 
 xp = jnp.asarray(rng.normal(size=(512, K)), dtype=jnp.bfloat16)
@@ -61,10 +93,13 @@ def bench_mm(f, x, iters):
         return carry + (y[:, :1] * 0).astype(carry.dtype)
 
     g = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))
-    g(x).block_until_ready()
-    t0 = time.perf_counter()
-    g(x).block_until_ready()
-    return (time.perf_counter() - t0) / iters
+    _fetch1(g(x))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _fetch1(g(x))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - (RTT or 0.0), 1e-9) / iters
 
 
 t = bench_mm(lambda x: qgemm(x, p), xp, 20)
