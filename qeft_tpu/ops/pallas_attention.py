@@ -67,12 +67,16 @@ def decode_attention(
     v_scale: jax.Array = None,
 ) -> jax.Array:
     """With ``k_scale``/``v_scale`` the caches hold int8 codes: the kernel
-    streams HALF the KV bytes and folds the per-vector scales into the f32
-    K/V tiles as [blk, 1] sublane broadcasts before each dot (the tiles are
-    already materialized in f32 for the MXU, so this adds no bytes).  The
-    scales ride as ``[B*H_kv, S, 1]`` so their (blk, 1) trailing block dims
-    are Mosaic-legal at any cache size (a 2D ``(1, blk)`` block is rejected
-    whenever blk < S: the sublane dim 1 is neither 8-aligned nor full)."""
+    streams HALF the KV bytes and applies the scales as [1, blk] row
+    multiplies — K's scale folds into the score columns, V's into the
+    probability columns before the PV dot, so no dequantized K/V tile is
+    ever materialized.  The scales ride as ``[B*H_kv, 1, S]`` with
+    ``(1, 1, blk)`` blocks: the sublane dim equals the array dim (legal at
+    any cache size) and the lane dim is 128-aligned.  Rejected layouts, for
+    the record: 2D ``(1, blk)`` blocks fail block-mapping checks whenever
+    blk < S (sublane dim 1 neither 8-aligned nor full); ``[.., S, 1]`` with
+    ``(1, blk, 1)`` blocks passes those but Mosaic cannot slice a lane dim
+    of 1 ("Slice shape along dimension 2 must be aligned to tiling (128)")."""
     b, h, d = q.shape
     _, hkv, s_max, _ = k_cache.shape
     n_rep = h // hkv
@@ -112,13 +116,12 @@ def decode_attention(
             qt = q_ref[:].astype(jnp.float32).reshape(n_rep, d)
             kt = k_ref.at[0][:].astype(jnp.float32)  # [blk, D]
             vt = v_ref.at[0][:].astype(jnp.float32)
-            if quantized:  # [blk, 1] per-vector scales broadcast over lanes
-                kt = kt * ks_ref.at[0][:]
-                vt = vt * vs_ref.at[0][:]
             scores = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [rep, blk]
+            if quantized:
+                scores = scores * ks_ref.at[0][:]  # [1, blk] K scales
             valid = (
                 s_idx * blk
                 + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
@@ -130,6 +133,8 @@ def decode_attention(
             p = jnp.exp(scores - m_new)  # [rep, blk]
             alpha = jnp.exp(m_prev - m_new)
             l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            if quantized:
+                p = p * vs_ref.at[0][:]  # V scales fold into the prob columns
             pv = jnp.dot(p, vt, preferred_element_type=jnp.float32)  # [rep, D]
             acc_ref[:] = acc_ref[:] * alpha + pv
             m_ref[:] = m_new
@@ -150,10 +155,13 @@ def decode_attention(
     ]
     operands = [qf, kf, vf]
     if quantized:
-        in_specs += [pl.BlockSpec((1, blk, 1), clamp_idx)] * 2
+        def clamp_idx_s(bi, si, pos_ref):
+            return (bi, 0, jnp.minimum(si, pos_ref[0] // blk))
+
+        in_specs += [pl.BlockSpec((1, 1, blk), clamp_idx_s)] * 2
         operands += [
-            k_scale.reshape(b * hkv, s_max, 1).astype(jnp.float32),
-            v_scale.reshape(b * hkv, s_max, 1).astype(jnp.float32),
+            k_scale.reshape(b * hkv, 1, s_max).astype(jnp.float32),
+            v_scale.reshape(b * hkv, 1, s_max).astype(jnp.float32),
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -47,6 +47,8 @@ echo "--- [F] headline re-run (fetch-synced hbm bw) ---" >> "$LOG"
 timeout 3600 python bench.py >> "$LOG" 2>&1 || echo "bench FAILED" >> "$LOG"
 QEFT_KV_DTYPE=int8 QEFT_QUANT_LMHEAD=1 timeout 3600 python bench.py \
     >> "$LOG" 2>&1 || echo "best-config FAILED" >> "$LOG"
+QEFT_KV_DTYPE=int8 QEFT_BENCH_MAXLEN=4096 timeout 3600 python bench.py \
+    >> "$LOG" 2>&1 || echo "int8 kv @4096 FAILED" >> "$LOG"
 
 echo "--- [G] serving engine throughput ---" >> "$LOG"
 timeout 3600 python -m qeft_tpu.run_benchmark --method engine \
