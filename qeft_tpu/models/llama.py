@@ -307,12 +307,16 @@ def llama_block(
         # valid cache prefix (FT single_query_attention equivalent)
         from qeft_tpu.ops.pallas_attention import decode_attention
 
-        if len(kv) == 4:
+        if len(kv) == 4 and k_cache.shape[2] % 128 == 0:
             # int8 cache codes stream directly (half the bytes); the bf16
-            # k_all/v_all dequant above is dead code XLA eliminates
+            # k_all/v_all dequant above is dead code XLA eliminates.
+            # Misaligned caches (init_kv_cache rounds up, so only hand-built
+            # ones) fall through to XLA attention over the dequant.
             ctx = decode_attention(
                 q[:, 0], k_cache, v_cache, cache_pos, k_scale=ks_c, v_scale=vs_c
             )
+        elif len(kv) == 4:  # misaligned int8 cache: XLA over the dequant
+            ctx = _attention(q, k_all, v_all, mask, hq // hkv, dtype)
         else:
             ctx = decode_attention(q[:, 0], k_all, v_all, cache_pos)
         ctx = ctx.reshape(b, 1, hq * dh)
@@ -390,6 +394,10 @@ def init_kv_cache(
     dtype = dtype or cfg.dtype
     if os.environ.get("QEFT_KV_DTYPE", "").lower() == "int8":
         quantized = True
+    if quantized:
+        # the int8 attention kernel's scale planes put S on the LANE dim, so
+        # S must be 128-aligned; extra slots are never attended (mask <= pos)
+        max_len = (max_len + 127) // 128 * 128
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     if quantized:
         sshape = shape[:-1]

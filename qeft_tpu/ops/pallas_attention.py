@@ -48,11 +48,13 @@ def _default_blk(s_max: int) -> int:
     return 1024
 
 
-def _fit_blk(s_max: int, cap: int) -> int:
-    """Largest S-block <= cap that divides s_max and keeps sublane alignment
-    (multiple of 8); falls back to one whole-cache block for odd lengths."""
-    for blk in range(min(cap, s_max), 7, -1):
-        if s_max % blk == 0 and blk % 8 == 0:
+def _fit_blk(s_max: int, cap: int, align: int = 8) -> int:
+    """Largest S-block <= cap that divides s_max and keeps ``align``-ment
+    (8 for the K/V sublane dim; 128 for the int8 scale planes whose S is the
+    LANE dim); falls back to one whole-cache block (block == array dims is
+    always legal) for lengths with no aligned divisor."""
+    for blk in range(min(cap, s_max), align - 1, -1):
+        if s_max % blk == 0 and blk % align == 0:
             return blk
     return s_max
 
@@ -81,9 +83,18 @@ def decode_attention(
     _, hkv, s_max, _ = k_cache.shape
     n_rep = h // hkv
     quantized = k_scale is not None
+    if quantized:
+        # S is the LANE dim of the scale planes: even a whole-array block is
+        # rejected by Mosaic when s_max isn't 128-aligned (the VMEM ref pads
+        # to the next lane tile and the slice misaligns)
+        assert s_max % 128 == 0, (
+            f"int8 KV cache needs a 128-aligned slot count, got {s_max} "
+            "(init_kv_cache(quantized=True) rounds up automatically)"
+        )
     # any requested block is fitted DOWN to a divisor of s_max: caches sized
     # ctx+gen are rarely multiples of the tuned block (e.g. 1088 slots)
-    blk = _fit_blk(s_max, blk or _default_blk(s_max))
+    blk = _fit_blk(s_max, blk or _default_blk(s_max),
+                   align=128 if quantized else 8)
     assert s_max % blk == 0
     n_s = s_max // blk
     scale = d**-0.5

@@ -102,7 +102,9 @@ def test_decode_attention_int8_kv():
     from qeft_tpu.models.llama import _kv_quantize, _kv_dequantize
 
     rng = np.random.default_rng(2)
-    b, h, hkv, d, s, pos = 2, 8, 4, 64, 64, 41
+    # s is 128-aligned (as init_kv_cache(quantized=True) constructs); blk=128
+    # keeps blk < s so the clamped-index block mapping path is exercised
+    b, h, hkv, d, s, pos = 2, 8, 4, 64, 256, 141
     q = rng.normal(size=(b, h, d)).astype(np.float32)
     k = rng.normal(size=(b, hkv, s, d)).astype(np.float32)
     v = rng.normal(size=(b, hkv, s, d)).astype(np.float32)
@@ -110,7 +112,7 @@ def test_decode_attention_int8_kv():
     vq, vs = _kv_quantize(jnp.asarray(v))
 
     out = np.asarray(
-        decode_attention(jnp.asarray(q), kq, vq, pos, blk=16, k_scale=ks, v_scale=vs)
+        decode_attention(jnp.asarray(q), kq, vq, pos, blk=128, k_scale=ks, v_scale=vs)
     )
     ref = reference_attention(
         q,
