@@ -50,6 +50,15 @@ QEFT_KV_DTYPE=int8 QEFT_QUANT_LMHEAD=1 timeout 3600 python bench.py \
 QEFT_KV_DTYPE=int8 QEFT_BENCH_MAXLEN=4096 timeout 3600 python bench.py \
     >> "$LOG" 2>&1 || echo "int8 kv @4096 FAILED" >> "$LOG"
 
+echo "--- [E2] full-depth self-draft: on-chip acceptance sanity ---" >> "$LOG"
+# draft == target (32-layer slice): greedy acceptance must be gamma (4.0);
+# random-weight models cannot demo PARTIAL-depth acceptance (sliced drafts
+# of a random net are uncorrelated), so this validates the machinery instead
+timeout 3600 python -m qeft_tpu.run_benchmark --method spec \
+    --load ckpt/llama2_7b_w4g128r128_packed --draft_layers 32 --gamma 4 \
+    --gen 64 --logfile "$LOG" >> "$LOG" 2>&1 \
+    || echo "full-depth self-spec FAILED" >> "$LOG"
+
 echo "--- [G] serving engine throughput ---" >> "$LOG"
 timeout 3600 python -m qeft_tpu.run_benchmark --method engine \
     --load ckpt/llama2_7b_w4g128r128_packed --batch 8 --requests 16 \
