@@ -65,4 +65,12 @@ timeout 3600 python -m qeft_tpu.run_benchmark --method engine \
     --burst 16 --gen 128 --logfile "$LOG" >> "$LOG" 2>&1 \
     || echo "engine bench FAILED" >> "$LOG"
 
+echo "--- [H] int8-KV quality oracle: streaming PPL through the decode path ---" >> "$LOG"
+timeout 3600 python -m qeft_tpu.main llama2-7b synthetic \
+    --load ckpt/llama2_7b_w4g128r128_packed --benchmark 128 --seqlen 512 \
+    --logfile "$LOG" >> "$LOG" 2>&1 || echo "bf16-kv streaming ppl FAILED" >> "$LOG"
+QEFT_KV_DTYPE=int8 timeout 3600 python -m qeft_tpu.main llama2-7b synthetic \
+    --load ckpt/llama2_7b_w4g128r128_packed --benchmark 128 --seqlen 512 \
+    --logfile "$LOG" >> "$LOG" 2>&1 || echo "int8-kv streaming ppl FAILED" >> "$LOG"
+
 echo "=== chip session 4 done $(date -u) ===" >> "$LOG"
