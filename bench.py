@@ -81,10 +81,15 @@ RANK = 128
 
 def measure_hbm_bw() -> float:
     """Achievable HBM bandwidth of THIS chip: elementwise add over a 0.5 GB
-    bf16 buffer (read+write per iteration), 20 iterations fused in one jit so
-    tunnel dispatch amortizes.  Best of 3."""
+    bf16 buffer (read+write per iteration), fused in one jit.  Best of 3.
+
+    160 reps = ~160 GB = ~230 ms at the chip's real rate: the relay's ~32 ms
+    dispatch+fetch round-trip must be amortized into the noise or the
+    measurement halves (session-4 [A]: 20-rep runs read ~330 GB/s on a chip
+    whose true streaming rate is ~700+ GB/s — HALF the measured time was
+    RTT, and vs_baseline was computed against a 2x-understated roofline)."""
     n = 256 * 1024 * 1024  # 0.5 GB bf16
-    reps = 20
+    reps = 160
     arr = jnp.zeros((n,), jnp.bfloat16)
 
     @jax.jit

@@ -55,8 +55,10 @@ def bench(f, x, iters):
         print(f"null dispatch+fetch RTT: {RTT*1e3:.1f}ms", flush=True)
 
     def body(i, carry):
+        # tiny-but-nonzero feedback: *0 lets XLA fold non-opaque ops away
+        # entirely (the dense-gemm control read 0.00ms)
         y = f(carry)
-        return carry + (y[..., :1] * 0).astype(carry.dtype)
+        return carry + (y[..., :1] * 1e-12).astype(carry.dtype)
 
     g = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))
     t0 = time.perf_counter()
@@ -90,7 +92,7 @@ fl = 2 * 512 * K * N
 def bench_mm(f, x, iters):
     def body(i, carry):
         y = f(carry)
-        return carry + (y[:, :1] * 0).astype(carry.dtype)
+        return carry + (y[:, :1] * 1e-12).astype(carry.dtype)
 
     g = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))
     _fetch1(g(x))
