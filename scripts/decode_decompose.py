@@ -117,20 +117,31 @@ proj_in = [(n, x) for n, x in proj_in if n in layers]
 
 @jax.jit
 def matvec_loop(layers, lm_head):
-    def step(i, acc):
+    # every iteration's inputs depend on the previous iteration's outputs:
+    # XLA hoists loop-INVARIANT chains out of fori_loop entirely (session-4
+    # [B] measured the "floor" at one-pass cost divided by ITERS)
+    def step(i, carry):
+        acc, xd, xq, xf = carry
+
         def one(name, x):
             def body(c, lin):
-                y = apply_linear(lin, x)
-                return c + y[0, 0].astype(jnp.float32), None
+                xc, a = c
+                y = apply_linear(lin, xc)
+                return (xc + y[0, :1].astype(xc.dtype) * 1e-12,
+                        a + y[0, 0].astype(jnp.float32)), None
 
-            lin_stack = layers[name]
-            c, _ = jax.lax.scan(body, jnp.float32(0), lin_stack)
+            (xo, c), _ = jax.lax.scan(body, (x, jnp.float32(0)), layers[name])
             return c
 
-        acc = acc + sum(one(n, x) for n, x in proj_in)
-        return acc + jnp.matmul(x_d, lm_head)[0, 0].astype(jnp.float32)
+        ins = {"qkv": xd, "o": xq, "upgate": xd, "down": xf}
+        acc = acc + sum(one(n, ins[n]) for n, _ in proj_in)
+        acc = acc + jnp.matmul(xd, lm_head)[0, 0].astype(jnp.float32)
+        d = (acc * 1e-20).astype(jnp.bfloat16)
+        return acc, xd + d, xq + d, xf + d
 
-    return jax.lax.fori_loop(0, ITERS, step, jnp.float32(0))
+    return jax.lax.fori_loop(
+        0, ITERS, step, (jnp.float32(0), x_d, x_q, x_f)
+    )[0]
 
 
 lm = params["lm_head"]
@@ -163,36 +174,37 @@ def attn_loop_factory(pallas: bool):
     if pallas:
         from qeft_tpu.ops.pallas_attention import decode_attention
 
-        def attend(k_all, v_all):
-            return decode_attention(q, k_all, v_all, jnp.int32(POS))
+        def attend_q(q_cur, k_all, v_all):
+            return decode_attention(q_cur, k_all, v_all, jnp.int32(POS))
     else:
         from qeft_tpu.models.llama import _attention
 
         valid = jnp.arange(MAX_LEN)[None, None, None, :] <= POS
         mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
 
-        def attend(k_all, v_all):
+        def attend_q(q_cur, k_all, v_all):
             # q as [B, Sq=1, H, Dh]
             return _attention(
-                q[:, None], k_all, v_all, mask, hq // hkv, jnp.bfloat16
+                q_cur[:, None], k_all, v_all, mask, hq // hkv, jnp.bfloat16
             )
 
     @jax.jit
     def attn_loop(kc, vc):
         def step(i, carry):
-            kc, vc, acc = carry
+            q_cur, acc = carry
 
             def body(c, kv):
                 k_l, v_l = kv
                 k_l = jax.lax.dynamic_update_slice(k_l, kv_new, (0, 0, POS, 0))
                 v_l = jax.lax.dynamic_update_slice(v_l, kv_new, (0, 0, POS, 0))
-                ctx = attend(k_l, v_l)
-                return c + jnp.sum(ctx.astype(jnp.float32)), (k_l, v_l)
+                ctx = attend_q(q_cur, k_l, v_l)
+                return c + jnp.sum(ctx.astype(jnp.float32)), None
 
             acc2, _ = jax.lax.scan(body, jnp.float32(0), (kc, vc))
-            return kc, vc, acc + acc2
+            # q depends on the step's result: nothing hoists
+            return q_cur + (acc2 * 1e-20).astype(q_cur.dtype), acc + acc2
 
-        return jax.lax.fori_loop(0, ITERS, step, (kc, vc, jnp.float32(0)))[2]
+        return jax.lax.fori_loop(0, ITERS, step, (q, jnp.float32(0)))[1]
 
     return attn_loop
 
