@@ -83,9 +83,11 @@ def main(argv=None):
 
         params, cfg, family = load_model(args.load)
         api = get_model_api(family)
-        assert family in ("llama", "gemma") or args.method not in ("spec", "spec-batch"), (
-            "speculative methods ride the llama-family ragged verify window; "
-            "plain methods dispatch to any family"
+        assert family in ("llama", "gemma") or args.method not in (
+            "spec", "spec-batch", "engine"
+        ), (
+            "speculative and engine methods ride the llama-family ragged "
+            "window forward; plain methods dispatch to any family"
         )
     elif args.method == "fp":
         params = init_params(cfg, key, dtype=jnp.bfloat16)
