@@ -130,6 +130,111 @@ def _run_qmm(x2d: jax.Array, p: QLinearParams, bm: int, bn: int, dtype) -> jax.A
     return out[:m]
 
 
+def _qmm_kernel_stacked(
+    layer_ref, xpl_ref, sumx_ref, qw_ref, s_ref, sz_ref, out_ref, *, n_groups: int
+):
+    """Stacked-weights twin of `_qmm_kernel`: the weight operands carry a
+    leading layer dim selected by the scalar-prefetched ``layer_ref`` in the
+    BlockSpec index maps, so the kernel DMAs the layer's slab straight out of
+    the stacked [L, ...] HBM buffer — no per-layer dynamic-slice copy ever
+    materializes (the lax.scan-over-stacked-leaves pattern pays one)."""
+    cdtype = xpl_ref.dtype
+    k8, bn = qw_ref.shape[1], qw_ref.shape[2]
+    h = k8 // n_groups
+
+    qw = qw_ref.at[0][:]
+    gp = s_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 0) // h
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 1)
+    expand = (rows == cols).astype(jnp.float32)
+    s_exp = jnp.dot(
+        expand, s_ref.at[0][:].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+    acc = jnp.dot(
+        sumx_ref[:].astype(cdtype), sz_ref.at[0][:].astype(cdtype),
+        preferred_element_type=jnp.float32,
+    )
+    for p in range(8):
+        plane = (qw >> (4 * p)) & 0xF
+        wp = (plane.astype(jnp.float32) * s_exp).astype(cdtype)
+        xp = xpl_ref[:, p * k8 : (p + 1) * k8]
+        acc += jnp.dot(xp, wp, preferred_element_type=jnp.float32)
+
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def qgemv_stacked(
+    x: jax.Array,  # [..., K]
+    p: QLinearParams,  # STACKED leaves: qweight [L, K/8, N], scales [L, G, N]
+    layer: jax.Array,  # scalar int32 layer index
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Decode matvec reading layer ``layer``'s weights in place from the
+    stacked parameter pytree (scalar-prefetch index maps).  The outlier slab
+    and bias are dynamic-sliced outside — [r, N] / [N] are trivial copies;
+    the int4 planes (the actual bytes) never are."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    l_count, k8, n = p.qweight.shape
+    g = p.group_size if p.group_size > 0 else k
+    n_groups = k // g
+    bm = 8
+    bn = _pick_bn(n, int(os.environ.get("QEFT_GEMV_BN", "512")))
+    x2d = x.reshape(-1, k)
+    m = x2d.shape[0]
+    if m < bm:
+        x2d = jnp.pad(x2d, ((0, bm - m), (0, 0)))
+    grid = (-(-x2d.shape[0] // bm), n // bn)
+
+    xpl = plane_order_activations(x2d, k, g)
+    sumx = jnp.sum(
+        x2d.reshape(x2d.shape[0], n_groups, g).astype(jnp.float32), axis=2
+    ).astype(x2d.dtype)
+    gp = max(8, -(-n_groups // 8) * 8)
+    scales = jnp.pad(p.scales, ((0, 0), (0, gp - n_groups), (0, 0)))
+    szeros = jnp.pad(p.scaled_zeros, ((0, 0), (0, gp - n_groups), (0, 0)))
+    sumx = jnp.pad(sumx, ((0, 0), (0, gp - n_groups)))
+
+    kernel = functools.partial(_qmm_kernel_stacked, n_groups=n_groups)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j, l_ref: (i, 0)),
+            pl.BlockSpec((bm, gp), lambda i, j, l_ref: (i, 0)),
+            pl.BlockSpec((1, k8, bn), lambda i, j, l_ref: (l_ref[0], 0, j)),
+            pl.BlockSpec((1, gp, bn), lambda i, j, l_ref: (l_ref[0], 0, j)),
+            pl.BlockSpec((1, gp, bn), lambda i, j, l_ref: (l_ref[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, l_ref: (i, j)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((grid[0] * bm, n), dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xpl, sumx,
+      p.qweight, scales, szeros)[:m]
+
+    if p.oweight is not None:
+        ow = jax.lax.dynamic_index_in_dim(p.oweight, layer, 0, keepdims=False)
+        r = ow.shape[0]
+        out = out + jnp.matmul(
+            x2d[:m, k - r:], ow.astype(x2d.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+    y = out.reshape(*lead, n)
+    if p.bias is not None:
+        b = jax.lax.dynamic_index_in_dim(p.bias, layer, 0, keepdims=False)
+        y = y + b.astype(y.dtype)
+    return y
+
+
 def _pick_bn(n: int, bn: int) -> int:
     """Largest 128-multiple divisor of n that is <= bn (lane-aligned tiles)."""
     if n % bn == 0:

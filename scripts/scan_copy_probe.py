@@ -124,3 +124,23 @@ def timeit(name, fn, *args):
 timeit("A scan over stacked ", run_scan, x0, stacked)
 timeit("B unrolled slices   ", run_sliced, x0, stacked)
 timeit("C separate buffers  ", run_separate, x0, *flat)
+
+
+# D. fori_loop over layer indices + qgemv_stacked: the weights stay one
+# stacked HBM buffer; the kernel's scalar-prefetched index map DMAs the
+# layer's slab directly (no slice op in the graph at all)
+from qeft_tpu.ops.pallas_qmm import qgemv_stacked
+
+
+@jax.jit
+def run_stacked(x0, stacked):
+    def one_pass(i, x):
+        def body(l, xc):
+            return feed(xc, qgemv_stacked(xc, stacked, l))
+
+        return jax.lax.fori_loop(0, L, body, x)
+
+    return jax.lax.fori_loop(0, PASSES, one_pass, x0)
+
+
+timeit("D stacked-kernel    ", run_stacked, x0, stacked)

@@ -52,3 +52,39 @@ def test_qgemv_whole_row_group():
     y_ref = np.asarray(qlinear_xla(x, p, dtype=jnp.float32))
     y_pal = np.asarray(qgemv(x, p, dtype=jnp.float32))
     np.testing.assert_allclose(y_pal, y_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_qgemv_stacked_matches_per_layer():
+    """qgemv_stacked (scalar-prefetch layer index over stacked [L, ...]
+    weights) must equal qgemv on each layer's slice."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qeft_tpu.ops.packing import QLinearParams, pack_codes
+    from qeft_tpu.ops.pallas_qmm import qgemv, qgemv_stacked
+
+    L, K, N, G, R = 3, 256, 256, 64, 16
+    rng = np.random.default_rng(7)
+
+    def one(i):
+        codes = jnp.asarray(rng.integers(0, 16, size=(K, N)).astype(np.int32))
+        return QLinearParams(
+            qweight=pack_codes(codes, G),
+            scales=jnp.asarray(rng.random((K // G, N)) * 0.02 + 0.01, jnp.float32),
+            scaled_zeros=jnp.asarray(-rng.random((K // G, N)) * 0.1, jnp.float32),
+            oweight=jnp.asarray(rng.normal(size=(R, N)) * 0.02, jnp.float32),
+            bias=jnp.asarray(rng.normal(size=(N,)) * 0.01, jnp.float32),
+            group_size=G,
+        )
+
+    layers = [one(i) for i in range(L)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    x = jnp.asarray(rng.normal(size=(1, K)), jnp.float32)
+
+    for l in range(L):
+        ref = np.asarray(qgemv(x, layers[l], dtype=jnp.float32))
+        got = np.asarray(
+            qgemv_stacked(x, stacked, jnp.int32(l), dtype=jnp.float32)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
