@@ -205,6 +205,8 @@ def main():
         out["real_pipeline_ckpt"] = True
     if os.environ.get("QEFT_KV_DTYPE", "").lower() == "int8":
         out["kv_int8"] = True
+    if os.environ.get("QEFT_STACKED_GEMV", "0") not in ("0", "", "false"):
+        out["stacked_gemv"] = True
     print(json.dumps(out))
 
 

@@ -61,6 +61,18 @@ def main():
         params, cfg, family = load_ckpt(args.load)
         meta = get_model_meta(family)
         quantizers = None
+        import os as _os
+
+        if _os.environ.get("QEFT_QUANT_LMHEAD", "0") not in ("0", "", "false") \
+                and not hasattr(params.get("lm_head"), "qweight"):
+            # ablation knob (same as bench.py): RTN int4/g128 lm_head cuts
+            # ~6% of decode bytes/token; --benchmark's streaming PPL is its
+            # quality oracle
+            from qeft_tpu.pipeline import rtn_pack_linear
+
+            params["lm_head"] = rtn_pack_linear(
+                params["lm_head"].astype(jnp.float32)
+            )
     else:
         from qeft_tpu.extract_outidx import resolve_dtype
 

@@ -23,12 +23,13 @@ Layout conventions:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from qeft_tpu.ops.packing import QLinearParams
+from qeft_tpu.ops.packing import QLinearParams, StackedLinear
 from qeft_tpu.ops.qlinear import qlinear_apply
 
 
@@ -161,7 +162,41 @@ def _pallas_attn_enabled(s_max: int) -> bool:
 def apply_linear(lin, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     if isinstance(lin, QLinearParams):
         return qlinear_apply(x, lin, dtype=dtype)
+    if isinstance(lin, StackedLinear):
+        from qeft_tpu.ops.qlinear import qlinear_apply_stacked
+
+        return qlinear_apply_stacked(x, lin, dtype=dtype)
     return jnp.matmul(x.astype(lin.dtype), lin)
+
+
+def _stacked_gemv_enabled() -> bool:
+    """QEFT_STACKED_GEMV=1: the decode-shaped forwards view packed weights
+    through StackedLinear instead of letting lax.scan slice each layer's
+    planes (the slice materializes a copy — scripts/scan_copy_probe.py:
+    219 GB/s scanned vs 245 GB/s stacked-kernel on the 7B matvec chain)."""
+    return os.environ.get("QEFT_STACKED_GEMV", "0") not in ("0", "", "false")
+
+
+def _layer_xs(params: Dict, cache: Dict):
+    """(xs, blk_of) for the layer scan.
+
+    Default: scan slices (layers, cache) leaves per iteration.  Stacked mode:
+    only the cache and an index ride as xs; packed-weight leaves stay whole
+    (closed over) and blk_of builds per-layer views — StackedLinear for
+    QLinearParams, a normal slice for small array leaves (norms, o_reorder)."""
+    layers = params["layers"]
+    if not _stacked_gemv_enabled():
+        return (layers, cache), lambda blk, c: blk
+    n_layers = jax.tree.leaves(layers)[0].shape[0]
+
+    def blk_of(l, c):
+        return {
+            name: leaf.layer_view(l) if isinstance(leaf, QLinearParams)
+            else leaf[l]
+            for name, leaf in layers.items()
+        }
+
+    return (jnp.arange(n_layers), cache), blk_of
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float, one_offset: bool = False) -> jax.Array:
@@ -487,14 +522,16 @@ def llama_forward_window(
     query_pos = (pos + jnp.arange(w))[None, None, :, None]
     mask = jnp.where(key_pos <= query_pos, 0.0, -jnp.inf).astype(jnp.float32)
 
+    xs, blk_of = _layer_xs(params, cache)
+
     def body(xc, inp):
-        blk, c = inp
+        first, c = inp
         out, new_kv, _ = llama_block(
-            blk, xc, cfg, cos, sin, mask, kv=_kv_of(c), cache_pos=pos
+            blk_of(first, c), xc, cfg, cos, sin, mask, kv=_kv_of(c), cache_pos=pos
         )
         return out, _kv_dict(new_kv)
 
-    x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
+    x, new_cache = jax.lax.scan(body, x, xs)
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
     return logits, new_cache
@@ -529,8 +566,11 @@ def llama_forward_window_ragged(
 
         return jax.vmap(one)(cache_l, new, pos)
 
+    xs, blk_of = _layer_xs(params, cache)
+
     def body(xc, inp):
-        blk, c = inp
+        first, c = inp
+        blk = blk_of(first, c)
         kc, vc = c["k"], c["v"]
         # inline block with ragged cache write
         hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -578,7 +618,7 @@ def llama_forward_window_ragged(
         xc = xc + apply_linear(blk["down"], _act(gate, cfg.act) * up, dtype)
         return xc, new_c
 
-    x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
+    x, new_cache = jax.lax.scan(body, x, xs)
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
     return logits, new_cache
@@ -613,14 +653,16 @@ def llama_decode_step(
     valid = jnp.arange(max_len)[None, None, None, :] <= pos
     mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
 
+    xs, blk_of = _layer_xs(params, cache)
+
     def body(xc, inp):
-        blk, c = inp
+        first, c = inp
         out, new_kv, _ = llama_block(
-            blk, xc, cfg, cos, sin, mask, kv=_kv_of(c), cache_pos=pos
+            blk_of(first, c), xc, cfg, cos, sin, mask, kv=_kv_of(c), cache_pos=pos
         )
         return out, _kv_dict(new_kv)
 
-    x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
+    x, new_cache = jax.lax.scan(body, x, xs)
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
     return logits[:, 0, :], new_cache

@@ -62,6 +62,10 @@ class QLinearParams:
     def in_features(self) -> int:
         return self.qweight.shape[-2] * 8
 
+    def layer_view(self, l) -> "StackedLinear":
+        """View of layer ``l`` of STACKED [L, ...] leaves (see StackedLinear)."""
+        return StackedLinear(self, l)
+
     @property
     def out_features(self) -> int:
         return self.qweight.shape[-1]
@@ -78,6 +82,31 @@ class QLinearParams:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, group_size=aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class StackedLinear:
+    """One layer of a STACKED [L, ...] QLinearParams, selected by a (traced)
+    index — WITHOUT slicing the packed planes.
+
+    The decode loop scans over layers; slicing each layer's weights out of
+    the stacked leaves materializes a copy of the packed planes (extra HBM
+    read+write the kernel then re-reads — scripts/scan_copy_probe.py measures
+    the cost).  A StackedLinear defers the layer select to the kernel's
+    scalar-prefetched BlockSpec index map (`qgemv_stacked`), so the int4
+    planes are DMA'd straight out of the stacked buffer.  Small leaves
+    (outlier slab, bias) are sliced normally."""
+
+    params: "QLinearParams"  # stacked [L, ...] leaves
+    idx: jax.Array  # scalar int32 layer index
+
+    def tree_flatten(self):
+        return (self.params, self.idx), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
 
 
 def _resolve_group(k: int, group_size: int) -> int:

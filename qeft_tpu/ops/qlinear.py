@@ -175,3 +175,25 @@ def qlinear_apply(
     return _qlinear_core(
         spec, x, p.qweight, p.scales, p.scaled_zeros, p.oweight, p.bias
     )
+
+
+def qlinear_apply_stacked(x: jax.Array, sl, dtype=jnp.bfloat16) -> jax.Array:
+    """Apply layer ``sl.idx`` of a STACKED QLinearParams (see
+    packing.StackedLinear).  Inference-only (no custom vjp): the decode-shaped
+    forwards are the only callers.
+
+    Few tokens + Pallas: qgemv_stacked selects the layer inside the kernel's
+    index map (no weight copy).  Otherwise: slice the layer out (the prefill
+    GEMM's MXU time dominates the slice) and take the regular path.
+    """
+    p = sl.params
+    if (
+        pallas_enabled()
+        and _num_tokens(x) < DECODE_MAX_TOKENS
+        and p.reorder_ids is None
+    ):
+        from qeft_tpu.ops import pallas_qmm
+
+        return pallas_qmm.qgemv_stacked(x, p, sl.idx, dtype=dtype)
+    lin = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(a, sl.idx, 0, False), p)
+    return qlinear_apply(x, lin, dtype=dtype)

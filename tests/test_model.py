@@ -153,3 +153,42 @@ def test_ragged_window_forward_matches_per_sequence():
                 np.asarray(rag_cache[k][:, i : i + 1]), np.asarray(ref_cache[k]),
                 rtol=2e-4, atol=2e-4,
             )
+
+
+def test_stacked_gemv_decode_matches_default(monkeypatch):
+    """QEFT_STACKED_GEMV=1 (StackedLinear views + the scalar-prefetch kernel,
+    interpret mode on CPU) must reproduce the default scan-sliced decode step
+    and ragged window exactly."""
+    import numpy as np
+
+    from qeft_tpu.models.llama import (
+        LLAMA_PRESETS, init_kv_cache, llama_decode_step, llama_prefill,
+        llama_forward_window_ragged,
+    )
+    from qeft_tpu.testing import build_packed_model
+
+    cfg = LLAMA_PRESETS["tiny-v2"]
+    params = build_packed_model(cfg, jax.random.PRNGKey(5), fuse_stages=True)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a, params
+    )
+    rng = np.random.default_rng(5)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 6)))
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 1)))
+
+    def run():
+        cache = init_kv_cache(cfg, 2, 16, dtype=jnp.float32)
+        _, cache = llama_prefill(params, prompt, cache, cfg)
+        logits, cache = llama_decode_step(params, tok, cache, jnp.int32(6), cfg)
+        wl, _ = llama_forward_window_ragged(
+            params, jnp.tile(tok, (1, 3)), cache,
+            jnp.asarray([7, 7], jnp.int32), cfg,
+        )
+        return np.asarray(logits, np.float32), np.asarray(wl, np.float32)
+
+    ref_l, ref_w = run()
+    monkeypatch.setenv("QEFT_STACKED_GEMV", "1")
+    monkeypatch.setenv("QEFT_PALLAS", "1")  # interpret-mode kernels on CPU
+    got_l, got_w = run()
+    np.testing.assert_allclose(got_l, ref_l, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got_w, ref_w, rtol=2e-4, atol=2e-4)
