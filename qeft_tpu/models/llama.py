@@ -280,12 +280,20 @@ def llama_block(
     kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     cache_pos: Optional[jax.Array] = None,
     capture: bool = False,
+    kv_out: str = "slab",
 ):
     """One decoder block.
 
     ``kv``: (k_cache, v_cache) each [B, H_kv, S_max, Dh] head-major; when
     given, this block's K/V are written at ``cache_pos`` and attention runs
     over the cache.  Returns (x_out, new_kv, captured-intermediates-or-None).
+
+    ``kv_out="token"`` returns just this call's new K/V slices ([B, H_kv, S,
+    Dh], plus scale slices for int8 caches) instead of the updated slabs:
+    when the layer loop is a scan, stacking full slabs as ys re-WRITES the
+    entire cache every step (~2.1 GB/step at 4096 slots — the dominant
+    long-context cost in the session-5 decomposition); the caller instead
+    issues ONE whole-cache token write after the scan.
     """
     b, s, d = x.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -322,17 +330,16 @@ def llama_block(
         vs_c = jax.lax.dynamic_update_slice(vs_c, vsn, (0, 0, cache_pos))
         k_all = _kv_dequantize(k_cache, ks_c, dtype)
         v_all = _kv_dequantize(v_cache, vs_c, dtype)
-        new_kv = (k_cache, v_cache, ks_c, vs_c)
+        new_kv = (kq, vq, ksn, vsn) if kv_out == "token" else (
+            k_cache, v_cache, ks_c, vs_c
+        )
     elif kv is not None:
         k_cache, v_cache = kv
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, kh.astype(k_cache.dtype), (0, 0, cache_pos, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, vh.astype(v_cache.dtype), (0, 0, cache_pos, 0)
-        )
+        kh_c, vh_c = kh.astype(k_cache.dtype), vh.astype(v_cache.dtype)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, kh_c, (0, 0, cache_pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, vh_c, (0, 0, cache_pos, 0))
         k_all, v_all = k_cache.astype(dtype), v_cache.astype(dtype)
-        new_kv = (k_cache, v_cache)
+        new_kv = (kh_c, vh_c) if kv_out == "token" else (k_cache, v_cache)
     else:
         k_all, v_all = kh, vh
         new_kv = None
@@ -467,6 +474,35 @@ def cache_max_len(cache: Dict) -> int:
     return cache["k"].shape[3]
 
 
+def _cache_token_write(cache: Dict, tok: Dict, pos) -> Dict:
+    """ONE whole-cache write of the layer scan's stacked token K/V slices
+    (ys [L, B, H_kv, W, Dh]) at scalar offset ``pos``.
+
+    The scan bodies attend over locally-updated slab copies and emit only
+    the new tokens' K/V; stacking full slabs as ys would re-write the entire
+    cache every decode step (session-5 decomposition: ~2.1 GB/step at 4096
+    slots)."""
+    out = {}
+    for name, leaf in cache.items():
+        n = tok[name].astype(leaf.dtype)
+        start = (0, 0, 0, pos, 0)[: leaf.ndim]
+        out[name] = jax.lax.dynamic_update_slice(leaf, n, start)
+    return out
+
+
+def _cache_token_write_ragged(cache: Dict, tok: Dict, pos: jax.Array) -> Dict:
+    """Per-sequence variant: sequence b's window lands at pos[b]."""
+    def one(c, n, p):  # c: [L, H_kv, S, (Dh)]; n: [L, H_kv, W, (Dh)]
+        return jax.lax.dynamic_update_slice(c, n, (0, 0, p, 0)[: c.ndim])
+
+    return {
+        name: jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(
+            cache[name], tok[name].astype(cache[name].dtype), pos
+        )
+        for name in cache
+    }
+
+
 def _kv_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """[..., S, Dh] -> (int8 codes, fp32 per-vector scales [..., S])."""
     xf = x.astype(jnp.float32)
@@ -493,11 +529,13 @@ def llama_prefill(params: Dict, tokens: jax.Array, cache: Dict, cfg: LlamaConfig
     def body(xc, inp):
         blk, c = inp
         out, new_kv, _ = llama_block(
-            blk, xc, cfg, cos, sin, mask, kv=_kv_of(c), cache_pos=jnp.int32(0)
+            blk, xc, cfg, cos, sin, mask, kv=_kv_of(c), cache_pos=jnp.int32(0),
+            kv_out="token",
         )
         return out, _kv_dict(new_kv)
 
-    x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
+    x, tok = jax.lax.scan(body, x, (params["layers"], cache))
+    new_cache = _cache_token_write(cache, tok, 0)
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
     return logits, new_cache
@@ -527,11 +565,13 @@ def llama_forward_window(
     def body(xc, inp):
         first, c = inp
         out, new_kv, _ = llama_block(
-            blk_of(first, c), xc, cfg, cos, sin, mask, kv=_kv_of(c), cache_pos=pos
+            blk_of(first, c), xc, cfg, cos, sin, mask, kv=_kv_of(c),
+            cache_pos=pos, kv_out="token",
         )
         return out, _kv_dict(new_kv)
 
-    x, new_cache = jax.lax.scan(body, x, xs)
+    x, tok = jax.lax.scan(body, x, xs)
+    new_cache = _cache_token_write(cache, tok, pos)
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
     return logits, new_cache
@@ -596,12 +636,13 @@ def llama_forward_window_ragged(
             vsc = write_at(c["v_scale"], vsn)
             k_read = _kv_dequantize(kc, ksc, dtype)
             v_read = _kv_dequantize(vc, vsc, dtype)
-            new_c = {"k": kc, "v": vc, "k_scale": ksc, "v_scale": vsc}
+            # ys carry only this call's token K/V (see _cache_token_write)
+            new_c = {"k": kq, "v": vq, "k_scale": ksn, "v_scale": vsn}
         else:
-            kc = write_at(kc, kh.astype(kc.dtype))
-            vc = write_at(vc, vh.astype(vc.dtype))
+            kh_c, vh_c = kh.astype(kc.dtype), vh.astype(vc.dtype)
+            kc, vc = write_at(kc, kh_c), write_at(vc, vh_c)
             k_read, v_read = kc.astype(dtype), vc.astype(dtype)
-            new_c = {"k": kc, "v": vc}
+            new_c = {"k": kh_c, "v": vh_c}
         ctx = _attention(q, k_read, v_read, mask, hq // hkv, dtype)
         o_in = ctx
         if "o_reorder" in blk:
@@ -618,7 +659,8 @@ def llama_forward_window_ragged(
         xc = xc + apply_linear(blk["down"], _act(gate, cfg.act) * up, dtype)
         return xc, new_c
 
-    x, new_cache = jax.lax.scan(body, x, xs)
+    x, tok = jax.lax.scan(body, x, xs)
+    new_cache = _cache_token_write_ragged(cache, tok, pos)
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
     return logits, new_cache
@@ -658,11 +700,13 @@ def llama_decode_step(
     def body(xc, inp):
         first, c = inp
         out, new_kv, _ = llama_block(
-            blk_of(first, c), xc, cfg, cos, sin, mask, kv=_kv_of(c), cache_pos=pos
+            blk_of(first, c), xc, cfg, cos, sin, mask, kv=_kv_of(c),
+            cache_pos=pos, kv_out="token",
         )
         return out, _kv_dict(new_kv)
 
-    x, new_cache = jax.lax.scan(body, x, xs)
+    x, tok = jax.lax.scan(body, x, xs)
+    new_cache = _cache_token_write(cache, tok, pos)
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
     logits = apply_linear(params["lm_head"], x, x.dtype)
     return logits[:, 0, :], new_cache
