@@ -205,7 +205,9 @@ def main():
         out["real_pipeline_ckpt"] = True
     if os.environ.get("QEFT_KV_DTYPE", "").lower() == "int8":
         out["kv_int8"] = True
-    if os.environ.get("QEFT_STACKED_GEMV", "0") not in ("0", "", "false"):
+    from qeft_tpu.models.llama import _stacked_gemv_enabled
+
+    if _stacked_gemv_enabled():
         out["stacked_gemv"] = True
     print(json.dumps(out))
 

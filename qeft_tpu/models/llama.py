@@ -170,11 +170,13 @@ def apply_linear(lin, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
 
 
 def _stacked_gemv_enabled() -> bool:
-    """QEFT_STACKED_GEMV=1: the decode-shaped forwards view packed weights
-    through StackedLinear instead of letting lax.scan slice each layer's
-    planes (the slice materializes a copy — scripts/scan_copy_probe.py:
-    219 GB/s scanned vs 245 GB/s stacked-kernel on the 7B matvec chain)."""
-    return os.environ.get("QEFT_STACKED_GEMV", "0") not in ("0", "", "false")
+    """Default ON: the decode-shaped forwards view packed weights through
+    StackedLinear instead of letting lax.scan slice each layer's planes (the
+    slice materializes a copy — scripts/scan_copy_probe.py: 219 GB/s scanned
+    vs 245 GB/s stacked-kernel on the 7B matvec chain; on-chip A/B: 75.9 vs
+    63.0 tok/s @512 slots, chip session 6).  QEFT_STACKED_GEMV=0 restores the
+    scan-sliced path."""
+    return os.environ.get("QEFT_STACKED_GEMV", "1") not in ("0", "", "false")
 
 
 def _layer_xs(params: Dict, cache: Dict):

@@ -156,9 +156,9 @@ def test_ragged_window_forward_matches_per_sequence():
 
 
 def test_stacked_gemv_decode_matches_default(monkeypatch):
-    """QEFT_STACKED_GEMV=1 (StackedLinear views + the scalar-prefetch kernel,
-    interpret mode on CPU) must reproduce the default scan-sliced decode step
-    and ragged window exactly."""
+    """The stacked decode path (default ON: StackedLinear views + the
+    scalar-prefetch kernel, interpret mode on CPU) must reproduce the
+    scan-sliced decode step (QEFT_STACKED_GEMV=0) and ragged window exactly."""
     import numpy as np
 
     from qeft_tpu.models.llama import (
@@ -186,6 +186,7 @@ def test_stacked_gemv_decode_matches_default(monkeypatch):
         )
         return np.asarray(logits, np.float32), np.asarray(wl, np.float32)
 
+    monkeypatch.setenv("QEFT_STACKED_GEMV", "0")
     ref_l, ref_w = run()
     monkeypatch.setenv("QEFT_STACKED_GEMV", "1")
     monkeypatch.setenv("QEFT_PALLAS", "1")  # interpret-mode kernels on CPU
