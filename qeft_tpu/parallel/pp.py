@@ -56,12 +56,18 @@ def pp_shardings(params: Dict, cache: Dict, mesh: Mesh):
 
 
 def _run_span(local_layers, local_cache, x, cfg, cos, sin, mask, pos):
-    """Scan this stage's local layer span over one microbatch activation."""
+    """Scan this stage's local layer span over one microbatch activation.
+
+    Returns (x_out, token K/V slices [L/P, mb, H_kv, W, (Dh)]): like the
+    single-device forwards, the scan emits only the new tokens' K/V
+    (kv_out="token") so the caller's write-back touches W slots, not the
+    whole span cache."""
 
     def body(xc, inp):
         blk, c = inp
         out, new_kv, _ = llama_block(
-            blk, xc, cfg, cos, sin, mask, kv=_kv_of(c), cache_pos=pos
+            blk, xc, cfg, cos, sin, mask, kv=_kv_of(c), cache_pos=pos,
+            kv_out="token",
         )
         return out, _kv_dict(new_kv)
 
@@ -138,16 +144,21 @@ def pp_decode_step(
                 lambda a: jax.lax.dynamic_slice_in_dim(a, m_c * mb, mb, axis=1),
                 cache_c,
             )
-            x_out, c_mb_new = _run_span(
+            x_out, tok = _run_span(
                 params_l["layers"], c_mb, x_in, cfg, cos, sin, mask, pos_
             )
-            # masked write-back of the microbatch's KV rows
-            cache_c = jax.tree.map(
-                lambda a, n, o: jax.lax.dynamic_update_slice_in_dim(
-                    a, jnp.where(active, n, o), m_c * mb, axis=1
-                ),
-                cache_c, c_mb_new, c_mb,
-            )
+
+            # masked token-granular write-back: only the new token's slot of
+            # the microbatch's KV rows (was a full-slab rewrite per tick)
+            def wb(a, n):
+                start = (0, m_c * mb, 0, pos_, 0)[: a.ndim]
+                n = n.astype(a.dtype)
+                cur = jax.lax.dynamic_slice(a, start, n.shape)
+                return jax.lax.dynamic_update_slice(
+                    a, jnp.where(active, n, cur), start
+                )
+
+            cache_c = jax.tree.map(wb, cache_c, tok)
             # last stage only: project to logits and accumulate (lax.cond on
             # the per-device axis_index keeps the vocab-sized lm_head matmul
             # — roughly a layer's worth of FLOPs — off the other stages)
