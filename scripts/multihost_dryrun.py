@@ -117,9 +117,58 @@ def child():
         losses.append(float(loss))
     assert all(np.isfinite(losses)), losses
     assert all_hosts_agree(losses[-1], tol=1e-6), "loss differs across hosts"
+
+    # --- dp-sharded DECODE: each host feeds only its own requests (the
+    # multi-host serving path — batch over dp/DCN, weights tp-sharded so
+    # their collectives stay on ICI); each host's greedy tokens must match a
+    # locally-computed full-batch reference decode exactly
+    from qeft_tpu.models.llama import init_kv_cache, llama_decode_step, llama_prefill
+    from qeft_tpu.parallel.mesh import cache_shardings
+
+    def my_rows(a):
+        """This process's batch rows of a dp-sharded array (dedup tp replicas)."""
+        seen = {}
+        for s in a.addressable_shards:
+            seen.setdefault(s.index[0].start or 0, np.asarray(s.data))
+        return np.concatenate([seen[k] for k in sorted(seen)])
+
+    n_global, ctx, steps = 4, 8, 3
+    sl = process_slice(n_global)
+    prompts = rng.integers(0, cfg.vocab_size, (n_global, ctx))
+    cache = init_kv_cache(cfg, n_global, 32)
+    c_sh = cache_shardings(mesh, batch=n_global, n_kv_heads=cfg.num_kv_heads)
+    cache = jax.tree.map(lambda a, s: jax.device_put(a, s), cache, c_sh)
+    toks = host_local_batch(prompts[sl], mesh)
+
+    prefill = jax.jit(llama_prefill, static_argnames=("cfg",))
+    decode = jax.jit(llama_decode_step, static_argnames=("cfg",))
+    logits, cache = prefill(packed, toks, cache, cfg)
+    nxt = jnp.argmax(logits[:, -1, :], axis=-1)[:, None]
+    got = [my_rows(nxt).ravel()]
+    for i in range(steps):
+        lg, cache = decode(packed, nxt, cache, jnp.int32(ctx + i), cfg)
+        nxt = jnp.argmax(lg, axis=-1)[:, None]
+        got.append(my_rows(nxt).ravel())
+
+    # full-batch reference on this process alone (same seed -> same weights)
+    ref_params = build_packed_model(cfg, jax.random.PRNGKey(0), g=64, r=16)
+    ref_cache = init_kv_cache(cfg, n_global, 32)
+    rl, ref_cache = llama_prefill(ref_params, jnp.asarray(prompts), ref_cache, cfg)
+    rn = jnp.argmax(rl[:, -1, :], axis=-1)[:, None]
+    assert np.array_equal(got[0], np.asarray(rn)[sl].ravel()), "prefill diverged"
+    for i in range(steps):
+        rl, ref_cache = llama_decode_step(
+            ref_params, rn, ref_cache, jnp.int32(ctx + i), cfg
+        )
+        rn = jnp.argmax(rl, axis=-1)[:, None]
+        assert np.array_equal(got[i + 1], np.asarray(rn)[sl].ravel()), (
+            f"decode step {i} diverged: {got[i + 1]} vs {np.asarray(rn)[sl].ravel()}"
+        )
+
     print(
         f"process {jax.process_index()}: devices={len(jax.devices())} "
-        f"mesh=(dp=2,tp=4) losses={[round(l, 4) for l in losses]} OK"
+        f"mesh=(dp=2,tp=4) losses={[round(l, 4) for l in losses]} "
+        f"dp-sharded decode == reference OK"
     )
 
 
