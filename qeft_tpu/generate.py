@@ -94,7 +94,11 @@ def generate(
     out_tokens = out_tokens.at[:, 0].set(first)
 
     def step(i, tokens, cache, key, done):
-        key, sub = jax.random.split(key)
+        if sc.greedy:
+            sub = key  # greedy never consumes randomness: skip the per-step
+            # threefry split (a serialized extra kernel in the decode chain)
+        else:
+            key, sub = jax.random.split(key)
         cur = jax.lax.dynamic_slice(tokens, (0, i - 1), (b, 1))
         logits, cache = api.decode_step(
             params, cur, cache, jnp.int32(s_prompt + i - 1), cfg

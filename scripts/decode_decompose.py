@@ -43,8 +43,15 @@ MAX_LEN = int(os.environ.get("QEFT_BENCH_MAXLEN", "512"))
 POS = MAX_LEN - 2  # steady-state decode position
 ITERS = 64
 
-params, cfg, family = load_packed(CKPT)
-params = fuse_packed_stages(params, get_model_meta(family))
+if os.path.exists(CKPT + ".json"):
+    params, cfg, family = load_packed(CKPT)
+    params = fuse_packed_stages(params, get_model_meta(family))
+else:  # fresh VM: same shape-faithful fallback as bench.py
+    from qeft_tpu.models.llama import LLAMA_PRESETS
+    from qeft_tpu.testing import build_packed_model
+
+    cfg = LLAMA_PRESETS["llama2-7b"]
+    params = build_packed_model(cfg, jax.random.PRNGKey(0), fuse_stages=True)
 params = jax.device_put(params)
 quant_kv = os.environ.get("QEFT_KV_DTYPE", "").lower() == "int8"
 
