@@ -79,3 +79,28 @@ print(f"raw 255-step loop : {t_raw/ITERS*1e3:7.3f} ms/token ({ITERS/t_raw:6.1f} 
 
 t_gen = timeit(generate, params, prompt, cache, cfg, GEN, sc)
 print(f"generate(256)     : {t_gen/GEN*1e3:7.3f} ms/token ({GEN/t_gen:6.1f} tok/s)")
+
+
+# --- probe 3: prefill FUSED into the same program as the loop --------------
+from qeft_tpu.models.llama import llama_prefill
+
+
+@jax.jit
+def prefill_plus_loop(params, prompt, cache):
+    logits, cache = llama_prefill(params, prompt, cache, cfg)
+    out = jnp.zeros((1, GEN), jnp.int32)
+    out = out.at[:, 0].set(jnp.argmax(logits[:, -1], -1).astype(jnp.int32))
+
+    def body(i, carry):
+        out, cache = carry
+        cur = jax.lax.dynamic_slice(out, (0, i - 1), (1, 1))
+        logits, cache = llama_decode_step(params, cur, cache, CTX + i - 1, cfg)
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
+        return out, cache
+
+    return jax.lax.fori_loop(1, GEN, body, (out, cache))
+
+
+t_pl = timeit(prefill_plus_loop, params, prompt, cache)
+print(f"prefill+loop fused: {t_pl/GEN*1e3:7.3f} ms/token ({GEN/t_pl:6.1f} tok/s)")
