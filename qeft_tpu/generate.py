@@ -55,12 +55,91 @@ def warp_logits(logits: jax.Array, sc: SampleConfig) -> jax.Array:
 
 def _sample_token(logits: jax.Array, key: jax.Array, sc: SampleConfig) -> jax.Array:
     if sc.greedy:
+        # INVARIANT: the greedy path must never consume ``key`` — generate()'s
+        # loop passes the SAME key every step to skip the per-step threefry
+        # split.  If greedy tie-breaking ever needs randomness, change
+        # generate()'s step() to split unconditionally first.
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jax.random.categorical(key, warp_logits(logits, sc), axis=-1).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("cfg", "sc", "api"))
+def _prefill_first(params, prompt, cache, cfg, sc, rng, api):
+    logits, cache = api.prefill(params, prompt, cache, cfg)
+    rng, k0 = jax.random.split(rng)  # never reuse a consumed key as loop root
+    first = _sample_token(logits[:, -1, :], k0, sc)
+    return first, cache, rng
+
+
+def _decode_step_fn(params, i, tokens, cache, key, done, *, b, s_prompt, sc,
+                    api, cfg, eos_id):
+    if sc.greedy:
+        sub = key  # greedy never consumes randomness: skip the per-step
+        # threefry split (a serialized extra kernel in the decode chain)
+    else:
+        key, sub = jax.random.split(key)
+    cur = jax.lax.dynamic_slice(tokens, (0, i - 1), (b, 1))
+    logits, cache = api.decode_step(
+        params, cur, cache, jnp.int32(s_prompt + i - 1), cfg
+    )
+    nxt = _sample_token(logits, sub, sc)
+    if eos_id is not None:
+        nxt = jnp.where(done, eos_id, nxt)
+        done = done | (nxt == eos_id)
+    tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i))
+    return tokens, cache, key, done
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "max_new_tokens", "sc", "api", "s_prompt"),
+         donate_argnums=(2,))
+def _decode_loop(params, first, cache, rng, s_prompt, cfg, max_new_tokens, sc,
+                 api):
+    """The decode loop compiled ALONE, with the prefill-produced cache donated
+    in.  Keeping prefill out of this program matters: on-chip
+    (scripts/genloop_probe2.py) a single fused prefill+loop program ran the
+    loop ~1.5 ms/token slower than the identical loop compiled by itself —
+    the split costs one extra dispatch (~26 ms through the relay) and wins
+    ~380 ms over 256 tokens."""
+    b = first.shape[0]
+    out_tokens = jnp.zeros((b, max_new_tokens), jnp.int32)
+    out_tokens = out_tokens.at[:, 0].set(first)
+    step = partial(_decode_step_fn, params, b=b, s_prompt=s_prompt, sc=sc,
+                   api=api, cfg=cfg, eos_id=None)
+    done0 = jnp.zeros((b,), bool)
+    out_tokens, cache, _, _ = jax.lax.fori_loop(
+        1, max_new_tokens,
+        lambda i, c: step(i, *c), (out_tokens, cache, rng, done0),
+    )
+    return out_tokens, cache
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "sc", "api",
-                                   "eos_id"))
+                                   "eos_id", "s_prompt"))
+def _generate_eos(params, first, cache, rng, s_prompt, cfg, max_new_tokens,
+                  sc, api, eos_id):
+    b = first.shape[0]
+    out_tokens = jnp.full((b, max_new_tokens), eos_id, jnp.int32)
+    out_tokens = out_tokens.at[:, 0].set(first)
+    step = partial(_decode_step_fn, params, b=b, s_prompt=s_prompt, sc=sc,
+                   api=api, cfg=cfg, eos_id=eos_id)
+    done0 = first == eos_id
+
+    def cond(carry):
+        i, _, _, _, done = carry
+        return (i < max_new_tokens) & ~jnp.all(done)
+
+    def body(carry):
+        i, tokens, cache, key, done = carry
+        tokens, cache, key, done = step(i, tokens, cache, key, done)
+        return i + 1, tokens, cache, key, done
+
+    _, out_tokens, cache, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), out_tokens, cache, rng, done0)
+    )
+    return out_tokens, cache
+
+
 def generate(
     params: Dict,
     prompt: jax.Array,
@@ -74,62 +153,25 @@ def generate(
 ) -> Tuple[jax.Array, Dict]:
     """prompt: [B, S_prompt] -> generated tokens [B, max_new_tokens].
 
-    The entire prefill + decode loop is one compiled program.  ``api``
-    selects the model family's forwards (default: llama).  With ``eos_id``
-    the loop exits early once EVERY sequence has emitted EOS (lax.while_loop)
-    and finished sequences are eos-padded — the reference's stopping-criteria
-    path (HF generate semantics, ftllama_generate.py _sample)."""
+    Runs as TWO compiled programs — prefill, then the whole token loop (the
+    loop program gets the cache donated; see `_decode_loop` for why the split
+    beats one fused program on-chip).  ``api`` selects the model family's
+    forwards (default: llama).  With ``eos_id`` the loop exits early once
+    EVERY sequence has emitted EOS (lax.while_loop) and finished sequences
+    are eos-padded — the reference's stopping-criteria path (HF generate
+    semantics, ftllama_generate.py _sample)."""
     b, s_prompt = prompt.shape
     if rng is None:
         rng = jax.random.PRNGKey(0)
     if api is None:
         api = get_model_api("llama")
 
-    logits, cache = api.prefill(params, prompt, cache, cfg)
-    rng, k0 = jax.random.split(rng)  # never reuse a consumed key as loop root
-    first = _sample_token(logits[:, -1, :], k0, sc)
-
-    fill = 0 if eos_id is None else eos_id
-    out_tokens = jnp.full((b, max_new_tokens), fill, jnp.int32)
-    out_tokens = out_tokens.at[:, 0].set(first)
-
-    def step(i, tokens, cache, key, done):
-        if sc.greedy:
-            sub = key  # greedy never consumes randomness: skip the per-step
-            # threefry split (a serialized extra kernel in the decode chain)
-        else:
-            key, sub = jax.random.split(key)
-        cur = jax.lax.dynamic_slice(tokens, (0, i - 1), (b, 1))
-        logits, cache = api.decode_step(
-            params, cur, cache, jnp.int32(s_prompt + i - 1), cfg
-        )
-        nxt = _sample_token(logits, sub, sc)
-        if eos_id is not None:
-            nxt = jnp.where(done, eos_id, nxt)
-            done = done | (nxt == eos_id)
-        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i))
-        return tokens, cache, key, done
-
-    done0 = (first == eos_id) if eos_id is not None else jnp.zeros((b,), bool)
+    first, cache, rng = _prefill_first(params, prompt, cache, cfg, sc, rng, api)
     if eos_id is None:
-        out_tokens, cache, _, _ = jax.lax.fori_loop(
-            1, max_new_tokens,
-            lambda i, c: step(i, *c), (out_tokens, cache, rng, done0),
-        )
-    else:
-        def cond(carry):
-            i, _, _, _, done = carry
-            return (i < max_new_tokens) & ~jnp.all(done)
-
-        def body(carry):
-            i, tokens, cache, key, done = carry
-            tokens, cache, key, done = step(i, tokens, cache, key, done)
-            return i + 1, tokens, cache, key, done
-
-        _, out_tokens, cache, _, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), out_tokens, cache, rng, done0)
-        )
-    return out_tokens, cache
+        return _decode_loop(params, first, cache, rng, s_prompt, cfg,
+                            max_new_tokens, sc, api)
+    return _generate_eos(params, first, cache, rng, s_prompt, cfg,
+                         max_new_tokens, sc, api, eos_id)
 
 
 def generate_simple(

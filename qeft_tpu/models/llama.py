@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from qeft_tpu.ops.packing import QLinearParams, StackedLinear
-from qeft_tpu.ops.qlinear import qlinear_apply
+from qeft_tpu.ops.qlinear import qlinear_apply, qlinear_fused_stage
 
 
 @dataclasses.dataclass(frozen=True)
@@ -169,6 +169,19 @@ def apply_linear(lin, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     return jnp.matmul(x.astype(lin.dtype), lin)
 
 
+def _fused_decode_enabled() -> bool:
+    """Default ON: stage-fused decode blocks run norm + matvec + outlier GEMM
+    + residual as ONE pallas_call per stage (qlinear_fused_stage), removing
+    the per-layer XLA glue from the serialized decode chain.
+    QEFT_FUSED_DECODE=0 restores the composed per-op path."""
+    return os.environ.get("QEFT_FUSED_DECODE", "1") not in ("0", "", "false")
+
+
+def _fused_stage_blk(blk: Dict) -> bool:
+    return all(isinstance(blk.get(n), StackedLinear)
+               for n in ("qkv", "o", "upgate", "down"))
+
+
 def _stacked_gemv_enabled() -> bool:
     """Default ON: the decode-shaped forwards view packed weights through
     StackedLinear instead of letting lax.scan slice each layer's planes (the
@@ -301,18 +314,30 @@ def llama_block(
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     dtype = x.dtype
 
-    h = rms_norm(x, blk["input_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
-    if "qkv" in blk:
-        # stage-fused packed projection (valid because OGR gives every member
-        # of the qkv stage the same input permutation and group layout)
-        qkv = apply_linear(blk["qkv"], h, dtype)
+    fused = _fused_decode_enabled() and not capture and _fused_stage_blk(blk)
+    if fused:
+        # norm + packed matvec + outlier GEMM in one pallas_call per stage
+        h = None
+        qkv = qlinear_fused_stage(
+            x, blk["qkv"], lnw=blk["input_ln"], eps=cfg.rms_norm_eps,
+            one_offset=cfg.rms_one_offset, dtype=dtype,
+        )
         q = qkv[..., : hq * dh].reshape(b, s, hq, dh)
         k = qkv[..., hq * dh : (hq + hkv) * dh].reshape(b, s, hkv, dh)
         v = qkv[..., (hq + hkv) * dh :].reshape(b, s, hkv, dh)
     else:
-        q = apply_linear(blk["q"], h, dtype).reshape(b, s, hq, dh)
-        k = apply_linear(blk["k"], h, dtype).reshape(b, s, hkv, dh)
-        v = apply_linear(blk["v"], h, dtype).reshape(b, s, hkv, dh)
+        h = rms_norm(x, blk["input_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        if "qkv" in blk:
+            # stage-fused packed projection (valid because OGR gives every
+            # member of the qkv stage the same input permutation and layout)
+            qkv = apply_linear(blk["qkv"], h, dtype)
+            q = qkv[..., : hq * dh].reshape(b, s, hq, dh)
+            k = qkv[..., hq * dh : (hq + hkv) * dh].reshape(b, s, hkv, dh)
+            v = qkv[..., (hq + hkv) * dh :].reshape(b, s, hkv, dh)
+        else:
+            q = apply_linear(blk["q"], h, dtype).reshape(b, s, hq, dh)
+            k = apply_linear(blk["k"], h, dtype).reshape(b, s, hkv, dh)
+            v = apply_linear(blk["v"], h, dtype).reshape(b, s, hkv, dh)
 
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
@@ -372,20 +397,31 @@ def llama_block(
     o_in = ctx
     if "o_reorder" in blk:
         o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
-    attn_out = apply_linear(blk["o"], o_in, dtype)
-    x = x + attn_out
-
-    h2 = rms_norm(x, blk["post_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
-    if "upgate" in blk:
-        ug = apply_linear(blk["upgate"], h2, dtype)
+    if fused:
+        x = qlinear_fused_stage(o_in, blk["o"], residual=x, dtype=dtype)
+        ug = qlinear_fused_stage(
+            x, blk["upgate"], lnw=blk["post_ln"], eps=cfg.rms_norm_eps,
+            one_offset=cfg.rms_one_offset, dtype=dtype,
+        )
         f = ug.shape[-1] // 2
-        up, gate = ug[..., :f], ug[..., f:]
+        act = _act(ug[..., f:], cfg.act) * ug[..., :f]
+        h2 = None
+        x = qlinear_fused_stage(act, blk["down"], residual=x, dtype=dtype)
     else:
-        up = apply_linear(blk["up"], h2, dtype)
-        gate = apply_linear(blk["gate"], h2, dtype)
-    act = _act(gate, cfg.act) * up
-    mlp_out = apply_linear(blk["down"], act, dtype)
-    x = x + mlp_out
+        attn_out = apply_linear(blk["o"], o_in, dtype)
+        x = x + attn_out
+
+        h2 = rms_norm(x, blk["post_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        if "upgate" in blk:
+            ug = apply_linear(blk["upgate"], h2, dtype)
+            f = ug.shape[-1] // 2
+            up, gate = ug[..., :f], ug[..., f:]
+        else:
+            up = apply_linear(blk["up"], h2, dtype)
+            gate = apply_linear(blk["gate"], h2, dtype)
+        act = _act(gate, cfg.act) * up
+        mlp_out = apply_linear(blk["down"], act, dtype)
+        x = x + mlp_out
 
     captured = None
     if capture:

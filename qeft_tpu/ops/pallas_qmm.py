@@ -235,6 +235,203 @@ def qgemv_stacked(
     return y
 
 
+def _qmm_kernel_stacked_fused(
+    l_ref, *args, n_groups: int, eps: float, one_offset: bool,
+    norm: bool, has_ow: bool, has_res: bool,
+):
+    """Stage-fused decode matvec: one pallas_call per (layer, stage) that also
+    performs the stage's XLA glue — the RMS norm of the raw residual (qkv /
+    upgate stages), the fp16 weak-column ("outlier") GEMM, and the residual
+    add (o / down stages).  Motivation (BASELINE.md round-2 decomposition):
+    the raw 7B decode loop ran 10.4 ms/token against a ~7 ms weight-stream
+    floor, with the gap dominated by per-layer norms/gathers/adds and
+    per-kernel entry overhead; folding them into the weight-streaming kernel
+    removes ~20 XLA fusions per layer from the serialized decode chain.
+
+    Dequant differs from `_qmm_kernel_stacked` in folding the zero-points into
+    the plane dequant (``w = code*scale + scaled_zero`` exactly as the fake
+    path's `dequantize_weight`) instead of the separate group-sum dot — same
+    math, one fewer host-side prepass (no sumx input).
+
+    Args by position (flags select which are present):
+      xpl [BM, K]  raw residual (norm=True) or stage input, PLANE order
+      xtail [BM, R]  last-r columns of the input in ORIGINAL order (has_ow)
+      lnw [1, K]   plane-ordered norm weight (norm)
+      lnwt [1, R]  norm-weight tail, original order (norm and has_ow)
+      qw [1, K/8, BN] / s,sz [1, Gp, BN]  layer-selected packed operands
+      ow [1, R, BN]  layer-selected outlier slab (has_ow)
+      res [BM, BN]  residual tile to add (has_res)
+      out [BM, BN]
+    """
+    it = iter(args)
+    xpl_ref = next(it)
+    xtail_ref = next(it) if has_ow else None
+    lnw_ref = next(it) if norm else None
+    lnwt_ref = next(it) if (norm and has_ow) else None
+    qw_ref = next(it)
+    s_ref = next(it)
+    sz_ref = next(it)
+    ow_ref = next(it) if has_ow else None
+    res_ref = next(it) if has_res else None
+    out_ref = next(it)
+
+    cdtype = xpl_ref.dtype
+    k8, bn = qw_ref.shape[1], qw_ref.shape[2]
+    h_height = k8 // n_groups
+
+    x = xpl_ref[:]
+    if norm:
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        lnw = lnw_ref[:]
+        w_ln = (1.0 + lnw) if one_offset else lnw
+        h = (xf * rstd).astype(cdtype) * w_ln
+    else:
+        h = x
+
+    gp = s_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 0) // h_height
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 1)
+    expand = (rows == cols).astype(jnp.float32)
+    s_exp = jnp.dot(expand, s_ref.at[0][:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    sz_exp = jnp.dot(expand, sz_ref.at[0][:].astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+
+    qw = qw_ref.at[0][:]
+    bm = x.shape[0]
+    acc = jnp.zeros((bm, bn), jnp.float32)
+    for p in range(8):
+        plane = (qw >> (4 * p)) & 0xF
+        wp = (plane.astype(jnp.float32) * s_exp + sz_exp).astype(cdtype)
+        acc += jnp.dot(h[:, p * k8 : (p + 1) * k8], wp,
+                       preferred_element_type=jnp.float32)
+
+    if has_ow:
+        t = xtail_ref[:]
+        if norm:
+            tw = (1.0 + lnwt_ref[:]) if one_offset else lnwt_ref[:]
+            t = (t.astype(jnp.float32) * rstd).astype(cdtype) * tw
+        acc += jnp.dot(t, ow_ref.at[0][:].astype(cdtype),
+                       preferred_element_type=jnp.float32)
+    if has_res:
+        acc += res_ref[:].astype(jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def qgemv_stacked_fused(
+    x: jax.Array,  # [..., K] stage input (RAW residual when lnw is given)
+    p: QLinearParams,  # STACKED leaves: qweight [L, K/8, N], oweight [L, r, N]
+    layer: jax.Array,  # scalar int32 layer index
+    lnw: jax.Array = None,  # [K] per-layer norm weight (original order)
+    residual: jax.Array = None,  # [..., N] residual to add to the output
+    eps: float = 1e-5,
+    one_offset: bool = False,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """`qgemv_stacked` with the stage glue fused into the kernel (see
+    `_qmm_kernel_stacked_fused`).  With ``lnw`` the kernel RMS-norms the raw
+    residual in its prologue; with ``residual`` it adds the skip connection in
+    its epilogue; the weak-column GEMM always rides inside (the stacked
+    oweight is layer-selected by the same scalar-prefetch index map, so the
+    [r, N] slab is never sliced/copied host-side).  Bias unsupported (llama
+    family carries none on these stages)."""
+    assert p.bias is None and p.reorder_ids is None
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    l_count, k8, n = p.qweight.shape
+    g = p.group_size if p.group_size > 0 else k
+    n_groups = k // g
+    bm = 8
+    bn = _pick_bn(n, int(os.environ.get("QEFT_GEMV_BN", "512")))
+    x2d = x.reshape(-1, k)
+    m = x2d.shape[0]
+    pad_m = -m % bm
+    if pad_m:
+        x2d = jnp.pad(x2d, ((0, pad_m), (0, 0)))
+    grid = (x2d.shape[0] // bm, n // bn)
+
+    norm = lnw is not None
+    has_ow = p.oweight is not None
+    has_res = residual is not None
+
+    xpl = plane_order_activations(x2d, k, g)
+    gp = max(8, -(-n_groups // 8) * 8)
+    scales = jnp.pad(p.scales, ((0, 0), (0, gp - n_groups), (0, 0)))
+    szeros = jnp.pad(p.scaled_zeros, ((0, 0), (0, gp - n_groups), (0, 0)))
+
+    def c0(i, j, l_ref):  # x-like operands: m-tiled, layer/N-invariant
+        return (i, 0)
+
+    def cl3(i, j, l_ref):  # stacked [L, *, N] operands: layer-selected N tile
+        return (l_ref[0], 0, j)
+
+    operands = [xpl]
+    in_specs = [pl.BlockSpec((bm, k), c0)]
+
+    r = 0
+    if has_ow:
+        r = p.oweight.shape[1]
+        rp = -(-r // 128) * 128  # lane-align the tail block
+        xtail = x2d[:, k - r :]
+        if rp != r:
+            xtail = jnp.pad(xtail, ((0, 0), (0, rp - r)))
+        operands.append(xtail)
+        in_specs.append(pl.BlockSpec((bm, rp), c0))
+    if norm:
+        lnw2 = lnw.reshape(1, k)
+        lnw_pl = plane_order_activations(lnw2, k, g)
+        operands.append(lnw_pl)
+        in_specs.append(pl.BlockSpec((1, k), lambda i, j, l_ref: (0, 0)))
+        if has_ow:
+            lnwt = lnw2[:, k - r :]
+            if rp != r:
+                lnwt = jnp.pad(lnwt, ((0, 0), (0, rp - r)))
+            operands.append(lnwt)
+            in_specs.append(pl.BlockSpec((1, rp), lambda i, j, l_ref: (0, 0)))
+
+    operands += [p.qweight, scales, szeros]
+    in_specs += [
+        pl.BlockSpec((1, k8, bn), cl3),
+        pl.BlockSpec((1, gp, bn), cl3),
+        pl.BlockSpec((1, gp, bn), cl3),
+    ]
+    if has_ow:
+        ow = p.oweight
+        if rp != r:
+            ow = jnp.pad(ow, ((0, 0), (0, rp - r), (0, 0)))
+        operands.append(ow)
+        in_specs.append(pl.BlockSpec((1, rp, bn), cl3))
+    if has_res:
+        res2 = residual.reshape(-1, n)
+        if pad_m:
+            res2 = jnp.pad(res2, ((0, pad_m), (0, 0)))
+        operands.append(res2)
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, l_ref: (i, j)))
+
+    kernel = functools.partial(
+        _qmm_kernel_stacked_fused, n_groups=n_groups, eps=eps,
+        one_offset=one_offset, norm=norm, has_ow=has_ow, has_res=has_res,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, l_ref: (i, j)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((grid[0] * bm, n), dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)[:m]
+    return out.reshape(*lead, n)
+
+
 def _pick_bn(n: int, bn: int) -> int:
     """Largest 128-multiple divisor of n that is <= bn (lane-aligned tiles)."""
     if n % bn == 0:

@@ -177,6 +177,46 @@ def qlinear_apply(
     )
 
 
+def qlinear_fused_stage(
+    x: jax.Array,
+    sl,
+    lnw: jax.Array = None,
+    residual: jax.Array = None,
+    eps: float = 1e-5,
+    one_offset: bool = False,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """One decoder STAGE as a single stacked pallas_call: RMS-norm prologue
+    (``lnw`` given — qkv/upgate stages take the RAW residual), packed matvec,
+    in-kernel weak-column GEMM, residual-add epilogue (``residual`` given —
+    o/down stages).  Inference-only.
+
+    Replaces the per-stage chain norm -> plane-permute -> kernel -> outlier
+    matmul -> add that round 2 ran as ~6 separate XLA/pallas computations per
+    stage (BASELINE.md: ~3.4 ms/token of non-matvec overhead in the decode
+    loop).  Falls back to the composed ops whenever the kernel can't apply
+    (no Pallas, >8 tokens, per-layer reorder_ids, bias)."""
+    p = sl.params
+    if (
+        pallas_enabled()
+        and _num_tokens(x) <= 8
+        and p.reorder_ids is None
+        and p.bias is None
+    ):
+        from qeft_tpu.ops import pallas_qmm
+
+        return pallas_qmm.qgemv_stacked_fused(
+            x, p, sl.idx, lnw=lnw, residual=residual, eps=eps,
+            one_offset=one_offset, dtype=dtype,
+        )
+    if lnw is not None:
+        from qeft_tpu.models.llama import rms_norm
+
+        x = rms_norm(x, lnw, eps, one_offset)
+    y = qlinear_apply_stacked(x, sl, dtype=dtype)
+    return y if residual is None else residual + y
+
+
 def qlinear_apply_stacked(x: jax.Array, sl, dtype=jnp.bfloat16) -> jax.Array:
     """Apply layer ``sl.idx`` of a STACKED QLinearParams (see
     packing.StackedLinear).  Inference-only (no custom vjp): the decode-shaped

@@ -1,4 +1,5 @@
-"""Decode-step time decomposition on the real 7B checkpoint.
+"""Decode-step time decomposition (real 7B checkpoint when present,
+random shape-faithful builder otherwise — a notice is printed).
 
 bench.py shows ~15.3 ms/token while the pure weight-stream floor is ~11.5 ms
 (3.86 GB at the chip's measured ~335 GB/s): ~25% of each step is NOT weight
@@ -50,6 +51,8 @@ else:  # fresh VM: same shape-faithful fallback as bench.py
     from qeft_tpu.models.llama import LLAMA_PRESETS
     from qeft_tpu.testing import build_packed_model
 
+    print(f"NOTE: ckpt manifest missing at {CKPT}.json — using the random "
+          "packed builder (shape-faithful, NOT real pipeline weights)")
     cfg = LLAMA_PRESETS["llama2-7b"]
     params = build_packed_model(cfg, jax.random.PRNGKey(0), fuse_stages=True)
 params = jax.device_put(params)

@@ -56,7 +56,7 @@ def timeit(fn, *args, reps=3):
         t0 = time.perf_counter()
         _small(fn(*args))
         best = min(best, time.perf_counter() - t0)
-    return best - RTT
+    return max(best - RTT, 1e-9)
 
 
 @jax.jit

@@ -88,3 +88,83 @@ def test_qgemv_stacked_matches_per_layer():
             qgemv_stacked(x, stacked, jnp.int32(l), dtype=jnp.float32)
         )
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("one_offset", [False, True])
+def test_qgemv_stacked_fused_matches_composed(one_offset):
+    """qgemv_stacked_fused (norm prologue + in-kernel outlier GEMM + residual
+    epilogue) must equal the composed chain rms_norm -> qgemv_stacked ->
+    outlier add -> residual add on each layer."""
+    import jax
+
+    from qeft_tpu.models.llama import rms_norm
+    from qeft_tpu.ops.packing import QLinearParams, pack_codes
+    from qeft_tpu.ops.pallas_qmm import qgemv, qgemv_stacked_fused
+
+    L, K, N, G, R = 3, 256, 256, 64, 16
+    EPS = 1e-5
+    rng = np.random.default_rng(11)
+
+    def one(i):
+        codes = jnp.asarray(rng.integers(0, 16, size=(K, N)).astype(np.int32))
+        return QLinearParams(
+            qweight=pack_codes(codes, G),
+            scales=jnp.asarray(rng.random((K // G, N)) * 0.02 + 0.01, jnp.float32),
+            scaled_zeros=jnp.asarray(-rng.random((K // G, N)) * 0.1, jnp.float32),
+            oweight=jnp.asarray(rng.normal(size=(R, N)) * 0.02, jnp.float32),
+            group_size=G,
+        )
+
+    layers = [one(i) for i in range(L)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    x = jnp.asarray(rng.normal(size=(2, K)), jnp.float32)
+    lnw = jnp.asarray(rng.normal(size=(K,)) * 0.1 + 1.0, jnp.float32)
+    res = jnp.asarray(rng.normal(size=(2, N)), jnp.float32)
+
+    for l in range(L):
+        # norm-fused (qkv/upgate-shaped stage)
+        h = rms_norm(x, lnw, EPS, one_offset)
+        ref = np.asarray(qgemv(h, layers[l], dtype=jnp.float32))
+        got = np.asarray(qgemv_stacked_fused(
+            x, stacked, jnp.int32(l), lnw=lnw, eps=EPS, one_offset=one_offset,
+            dtype=jnp.float32,
+        ))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+        # residual-fused (o/down-shaped stage)
+        ref2 = np.asarray(res + qgemv(x, layers[l], dtype=jnp.float32))
+        got2 = np.asarray(qgemv_stacked_fused(
+            x, stacked, jnp.int32(l), residual=res, dtype=jnp.float32,
+        ))
+        np.testing.assert_allclose(got2, ref2, rtol=1e-4, atol=1e-4)
+
+
+def test_qgemv_stacked_fused_no_outliers():
+    import dataclasses
+
+    import jax
+
+    from qeft_tpu.ops.packing import QLinearParams, pack_codes
+    from qeft_tpu.ops.pallas_qmm import qgemv, qgemv_stacked_fused
+
+    L, K, N, G = 2, 128, 128, 64
+    rng = np.random.default_rng(12)
+
+    def one(i):
+        codes = jnp.asarray(rng.integers(0, 16, size=(K, N)).astype(np.int32))
+        return QLinearParams(
+            qweight=pack_codes(codes, G),
+            scales=jnp.asarray(rng.random((K // G, N)) * 0.02 + 0.01, jnp.float32),
+            scaled_zeros=jnp.asarray(-rng.random((K // G, N)) * 0.1, jnp.float32),
+            group_size=G,
+        )
+
+    layers = [one(i) for i in range(L)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    x = jnp.asarray(rng.normal(size=(1, K)), jnp.float32)
+    for l in range(L):
+        ref = np.asarray(qgemv(x, layers[l], dtype=jnp.float32))
+        got = np.asarray(
+            qgemv_stacked_fused(x, stacked, jnp.int32(l), dtype=jnp.float32)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
