@@ -169,6 +169,18 @@ def apply_linear(lin, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     return jnp.matmul(x.astype(lin.dtype), lin)
 
 
+def _flash_attn_enabled() -> bool:
+    """Flash/blockwise prefill+window attention (ops/pallas_flash.py):
+    default ON on TPU, where it avoids materializing the [Sq, Sk] fp32 score
+    tensor (~2.1 GB at 4096-ctx 7B) and reads only the valid cache prefix;
+    off on CPU (interpret-mode kernels are for opt-in tests).
+    QEFT_FLASH_ATTN=1/0 forces."""
+    v = os.environ.get("QEFT_FLASH_ATTN")
+    if v is not None:
+        return v not in ("0", "false", "off")
+    return jax.default_backend() == "tpu"
+
+
 def _fused_decode_enabled() -> bool:
     """Default ON: stage-fused decode blocks run norm + matvec + outlier GEMM
     + residual as ONE pallas_call per stage (qlinear_fused_stage), removing
@@ -389,6 +401,14 @@ def llama_block(
         else:
             ctx = decode_attention(q[:, 0], k_all, v_all, cache_pos)
         ctx = ctx.reshape(b, 1, hq * dh)
+    elif s > 1 and _flash_attn_enabled():
+        # every llama_block caller passes the causal-window mask (query i at
+        # absolute pos cache_pos+i attends keys <= cache_pos+i), which is
+        # exactly the flash kernel's in-kernel mask — scores never materialize
+        from qeft_tpu.ops.pallas_flash import flash_window_attention
+
+        pos0 = cache_pos if cache_pos is not None else jnp.int32(0)
+        ctx = flash_window_attention(q, k_all, v_all, pos0)
     else:
         ctx = _attention(q, k_all, v_all, mask, hq // hkv, dtype)
 

@@ -1,0 +1,162 @@
+"""Flash-style (blockwise, online-softmax) causal window attention in Pallas.
+
+Round-2 gap (VERDICT missing #3): `models/llama.py::_attention` materializes
+the full ``[B, H, Sq, Sk]`` fp32 score tensor — ~2.1 GB for one 4096-token 7B
+prefill, worse at 13B/70B — and always reads the ENTIRE cache slab even when
+only a short prefix is valid.  This kernel computes attention in
+``[blk_q, blk_k]`` tiles with running (m, l, acc) statistics, so peak memory
+is O(blk_q · blk_k) per core and HBM reads stop at the last valid key block.
+
+Semantics match `llama_forward_window`'s masking: query ``i`` sits at
+absolute position ``pos + i`` and attends cache entries ``<= pos + i``.
+Covers prefill (pos=0), the speculative verify window (W=gamma+1), and plain
+full-sequence forward (k/v = the window itself).  The reference's prefill is
+eager O(L^2) (/root/reference/qeft/monkeypatch/ftllama_modeling.py:87-125) —
+this is a capability the TPU build is chartered to exceed (SURVEY §7 stage 5).
+
+Block/grid design mirrors ops/pallas_attention.py (the proven Mosaic-friendly
+shapes): head-major 3D operands with a leading block dim of 1, scalar-
+prefetched ``pos`` driving both the in-kernel mask and the k-block DMA clamp
+(blocks past the causal frontier re-map to the last valid block index, and
+the pallas pipeline skips the DMA when the block index is unchanged).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fit(s: int, cap: int, align: int = 8) -> int:
+    for blk in range(min(cap, s), align - 1, -1):
+        if s % blk == 0 and blk % align == 0:
+            return blk
+    return s
+
+
+def flash_window_attention(
+    q: jax.Array,  # [B, S, H, D] (RoPE already applied)
+    k_all: jax.Array,  # [B, H_kv, S_k, D] head-major
+    v_all: jax.Array,  # [B, H_kv, S_k, D]
+    pos,  # scalar int32: absolute position of query 0
+    blk_q: int = 0,
+    blk_k: int = 0,
+) -> jax.Array:
+    """Returns ctx [B, S, H*D]; query i attends keys at positions <= pos+i."""
+    b, s, h, d = q.shape
+    _, hkv, s_k, _ = k_all.shape
+    n_rep = h // hkv
+    scale = d**-0.5
+
+    blk_q = blk_q or int(os.environ.get("QEFT_FLASH_BLKQ", "256"))
+    blk_k = blk_k or int(os.environ.get("QEFT_FLASH_BLKK", "512"))
+    # pad S up so blk_q divides it; padded query rows compute garbage that is
+    # sliced off (their positions extend past pos+s-1, never NaN)
+    blk_q = min(blk_q, -(-s // 8) * 8)
+    s_pad = -(-s // blk_q) * blk_q
+    blk_k = _fit(s_k, blk_k)
+    n_q, n_k = s_pad // blk_q, s_k // blk_k
+
+    qh = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    if s_pad != s:
+        qh = jnp.pad(qh, ((0, 0), (0, s_pad - s), (0, 0)))
+    kf = k_all.reshape(b * hkv, s_k, d)
+    vf = v_all.reshape(b * hkv, s_k, d)
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+
+    def kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+        qi = pl.program_id(1)
+        ki = pl.program_id(2)
+        p = pos_ref[0]
+
+        @pl.when(ki == 0)
+        def _():
+            m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        q_end = p + qi * blk_q + blk_q - 1  # last query position in block
+
+        @pl.when(ki * blk_k <= q_end)
+        def _():
+            qt = q_ref.at[0][:].astype(jnp.float32)  # [blk_q, D]
+            kt = k_ref.at[0][:].astype(jnp.float32)  # [blk_k, D]
+            vt = v_ref.at[0][:].astype(jnp.float32)
+            scores = jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [blk_q, blk_k]
+            qpos = p + qi * blk_q + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_q, blk_k), 0
+            )
+            kpos = ki * blk_k + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_q, blk_k), 1
+            )
+            scores = jnp.where(kpos <= qpos, scores, -jnp.inf)
+
+            m_prev = m_ref[:]  # [blk_q, 1]
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+            pm = jnp.exp(scores - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[:] = l_ref[:] * alpha + jnp.sum(pm, axis=-1, keepdims=True)
+            acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+                pm, vt, preferred_element_type=jnp.float32
+            )
+            m_ref[:] = m_new
+
+        @pl.when(ki == pl.num_programs(2) - 1)
+        def _():
+            # fully-masked padded query rows have l == 0: guard the divide
+            l_safe = jnp.where(l_ref[:] == 0.0, 1.0, l_ref[:])
+            o_ref[:] = (acc_ref[:] / l_safe).astype(o_ref.dtype)[None]
+
+    def kv_head(bi):
+        return (bi // h) * hkv + (bi % h) // n_rep
+
+    def clamp_k(bi, qi, ki, pos_ref):
+        # last key block the causal frontier of THIS q block can touch
+        lim = (pos_ref[0] + (qi + 1) * blk_q - 1) // blk_k
+        return (kv_head(bi), jnp.minimum(ki, lim), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda bi, qi, ki, pos_ref: (bi, qi, 0)),
+            pl.BlockSpec((1, blk_k, d), clamp_k),
+            pl.BlockSpec((1, blk_k, d), clamp_k),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, blk_q, d), lambda bi, qi, ki, pos_ref: (bi, qi, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+            pltpu.VMEM((blk_q, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(kernel),
+        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s_k * d,
+            bytes_accessed=(b * h * s * d + 2 * b * hkv * s_k * d) * 2,
+            transcendentals=b * h * s * s_k,
+        ),
+        interpret=_interpret(),
+    )(pos_arr, qh, kf, vf)
+    out = out[:, :s].reshape(b, h, s, d)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
