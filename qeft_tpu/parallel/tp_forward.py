@@ -42,7 +42,7 @@ from qeft_tpu.models.llama import (
     rms_norm,
     rope_tables,
 )
-from qeft_tpu.ops.packing import QLinearParams
+from qeft_tpu.ops.packing import QLinearParams, StackedLinear
 
 
 def _interleave_perm(sizes, tp: int) -> np.ndarray:
@@ -89,8 +89,10 @@ def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig) -> Dict:
         return dataclasses.replace(
             lin,
             qweight=put(lin.qweight, P(None, "tp", None)),
-            scales=put(lin.scales, P(None, None, None)),
-            scaled_zeros=put(lin.scaled_zeros, P(None, None, None)),
+            # group params shard WITH the K rows (whole groups per shard, see
+            # the assertion below), so the local kernel needs no slicing
+            scales=put(lin.scales, P(None, "tp", None)),
+            scaled_zeros=put(lin.scaled_zeros, P(None, "tp", None)),
             oweight=put(lin.oweight, P(None, None, None)),
             # replicated; _row_parallel_apply adds it on the last shard only
             # so the psum counts it exactly once
@@ -130,18 +132,12 @@ def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig) -> Dict:
 
 
 def _row_parallel_apply(lin: QLinearParams, x_full, my, tp, dtype):
-    """Local row-shard contraction of a row-parallel packed linear; adds the
-    outlier-slab GEMM on the last shard. Caller psums the result."""
+    """Local row-shard contraction of a row-parallel packed linear (scales
+    arrive pre-sharded with the K rows); adds the outlier-slab GEMM on the
+    last shard. Caller psums the result."""
     k_shard = lin.qweight.shape[0] * 8
-    g = lin.group_size if lin.group_size > 0 else k_shard * tp
-    gsh = k_shard // g
     x_my = jax.lax.dynamic_slice_in_dim(x_full, my * k_shard, k_shard, axis=-1)
-    local = dataclasses.replace(
-        lin,
-        scales=jax.lax.dynamic_slice_in_dim(lin.scales, my * gsh, gsh, axis=0),
-        scaled_zeros=jax.lax.dynamic_slice_in_dim(lin.scaled_zeros, my * gsh, gsh, axis=0),
-        oweight=None, bias=None, group_size=lin.group_size,
-    )
+    local = dataclasses.replace(lin, oweight=None, bias=None)
     part = apply_linear(local, x_my, dtype)
     # slab + bias are NOT K-partitioned: add each once (last shard) so the
     # caller's psum counts them exactly once, not tp times
@@ -157,35 +153,42 @@ def _row_parallel_apply(lin: QLinearParams, x_full, my, tp, dtype):
     return part
 
 
-def tp_decode_step(
-    params: Dict,
-    token: jax.Array,  # [B, 1]
-    cache: Dict,  # KV sharded over kv heads (dim 3)
-    pos: jax.Array,
-    cfg: LlamaConfig,
-    mesh: Mesh,
-):
-    """One decode step under shard_map over the 'tp' axis.
+def _row_parallel_apply_stacked(sl, x_full, my, tp, dtype):
+    """Stacked-weights twin of `_row_parallel_apply`: the layer's local row
+    shard is selected inside the kernel (scalar-prefetch index map) instead
+    of sliced out of the scan."""
+    from qeft_tpu.ops.qlinear import qlinear_apply_stacked
 
-    Requires a stage-fused packed model laid out by `tp_shard_packed_params`;
-    num_heads, num_kv_heads and every row-parallel group count must divide tp.
-    """
-    tp = mesh.shape["tp"]
-    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    assert hq % tp == 0 and hkv % tp == 0, (hq, hkv, tp)
-    hq_l, hkv_l = hq // tp, hkv // tp
+    p = sl.params
+    k_shard = p.qweight.shape[-2] * 8
+    x_my = jax.lax.dynamic_slice_in_dim(x_full, my * k_shard, k_shard, axis=-1)
+    local = dataclasses.replace(p, oweight=None, bias=None)
+    part = qlinear_apply_stacked(x_my, StackedLinear(local, sl.idx), dtype)
+    last_shard = my == tp - 1
+    if p.oweight is not None:
+        ow = jax.lax.dynamic_index_in_dim(p.oweight, sl.idx, 0, keepdims=False)
+        r = ow.shape[0]
+        slab = jnp.matmul(x_full[..., -r:], ow.astype(x_full.dtype))
+        part = part + jnp.where(last_shard, slab.astype(part.dtype),
+                                jnp.zeros_like(part))
+    if p.bias is not None:
+        bias = jax.lax.dynamic_index_in_dim(p.bias, sl.idx, 0, keepdims=False)
+        part = part + jnp.where(
+            last_shard, bias.astype(part.dtype),
+            jnp.zeros_like(bias, part.dtype),
+        )
+    return part
 
+
+def _tp_specs(params: Dict, cache: Dict):
     def lin_spec(leaf: QLinearParams, shard_n: bool) -> QLinearParams:
         # spec pytree must share the leaf's treedef (aux data included), so
         # None fields stay None and group_size matches
-        def opt(spec):
-            return spec
-
         if shard_n:
             qw = sc = ow = P(None, None, "tp")
         else:
-            qw = P(None, "tp", None)
-            sc = ow = P(None, None, None)
+            qw = sc = P(None, "tp", None)
+            ow = P(None, None, None)
         bias_spec = P(None, "tp") if shard_n else P(None, None)
         return QLinearParams(
             qweight=qw, scales=sc, scaled_zeros=sc,
@@ -206,75 +209,234 @@ def tp_decode_step(
         "final_ln": P(None),
         "lm_head": P(None, "tp"),
     }
-    # head-major cache [L, B, H_kv, S, Dh]: shard over kv heads
+    # head-major cache [L, B, H_kv, S, Dh] (+ [L, B, H_kv, S] int8 scale
+    # planes): shard over kv heads
     cache_specs = {
-        "k": P(None, None, "tp", None, None),
-        "v": P(None, None, "tp", None, None),
+        name: P(*(None, None, "tp", None, None)[: cache[name].ndim])
+        for name in cache
     }
+    return param_specs, cache_specs
+
+
+def _tp_window_body(params: Dict, tokens: jax.Array, cache: Dict,
+                    pos, cfg: LlamaConfig, tp: int):
+    """Forward a W-token window at offset ``pos`` through the LOCAL shards
+    (runs inside shard_map over the 'tp' axis).  Mirrors the single-chip
+    defaults: stacked-gemv StackedLinear views (the scan carries only a layer
+    index; packed planes are layer-selected inside the kernels), fused
+    norm+matvec stages, int8-KV quantize/dequant, token-granular cache
+    write-back.  Returns (local logits [B, W, V/tp], new local cache)."""
+    from qeft_tpu.models.llama import (
+        _cache_token_write,
+        _kv_dequantize,
+        _kv_quantize,
+        _pallas_attn_enabled,
+    )
+    from qeft_tpu.ops.qlinear import qlinear_fused_stage
+
+    my = jax.lax.axis_index("tp")
+    b, w = tokens.shape
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    hq_l, hkv_l = hq // tp, hkv // tp
+    dtype = params["embed"].dtype
+    layers = params["layers"]
+    n_layers = jax.tree.leaves(layers)[0].shape[0]
+
+    x = _embed(params, tokens, cfg)
+    positions = pos + jnp.arange(w)[None, :]
+    cos, sin = rope_tables(cfg, positions)
+    max_len = cache["k"].shape[3]
+    key_pos = jnp.arange(max_len)[None, None, None, :]
+    query_pos = positions[:, None, :, None]
+    mask = jnp.where(key_pos <= query_pos, 0.0, -jnp.inf).astype(jnp.float32)
+
+    def blk_of(l):
+        return {
+            name: leaf.layer_view(l) if isinstance(leaf, QLinearParams)
+            else leaf[l]
+            for name, leaf in layers.items()
+        }
+
+    def body(xc, inp):
+        l, c = inp
+        blk = blk_of(l)
+        qkv = qlinear_fused_stage(
+            xc, blk["qkv"], lnw=blk["input_ln"], eps=cfg.rms_norm_eps,
+            one_offset=cfg.rms_one_offset, dtype=dtype,
+        )  # local [q_t|k_t|v_t]
+        q = qkv[..., : hq_l * dh].reshape(b, w, hq_l, dh)
+        k = qkv[..., hq_l * dh : (hq_l + hkv_l) * dh].reshape(b, w, hkv_l, dh)
+        v = qkv[..., (hq_l + hkv_l) * dh :].reshape(b, w, hkv_l, dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kh = k.transpose(0, 2, 1, 3)
+        vh = v.transpose(0, 2, 1, 3)
+
+        if "k_scale" in c:
+            kq, ksn = _kv_quantize(kh)
+            vq, vsn = _kv_quantize(vh)
+            kc = jax.lax.dynamic_update_slice(c["k"], kq, (0, 0, pos, 0))
+            vc = jax.lax.dynamic_update_slice(c["v"], vq, (0, 0, pos, 0))
+            ksc = jax.lax.dynamic_update_slice(c["k_scale"], ksn, (0, 0, pos))
+            vsc = jax.lax.dynamic_update_slice(c["v_scale"], vsn, (0, 0, pos))
+            new_c = {"k": kq, "v": vq, "k_scale": ksn, "v_scale": vsn}
+            if w == 1 and _pallas_attn_enabled(max_len) and max_len % 128 == 0:
+                from qeft_tpu.ops.pallas_attention import decode_attention
+
+                ctx = decode_attention(
+                    q[:, 0], kc, vc, pos, k_scale=ksc, v_scale=vsc
+                ).reshape(b, 1, hq_l * dh)
+            else:
+                ctx = _attention(
+                    q, _kv_dequantize(kc, ksc, dtype),
+                    _kv_dequantize(vc, vsc, dtype), mask, hq_l // hkv_l, dtype,
+                )
+        else:
+            kc = jax.lax.dynamic_update_slice(
+                c["k"], kh.astype(c["k"].dtype), (0, 0, pos, 0)
+            )
+            vc = jax.lax.dynamic_update_slice(
+                c["v"], vh.astype(c["v"].dtype), (0, 0, pos, 0)
+            )
+            new_c = {"k": kh.astype(c["k"].dtype), "v": vh.astype(c["v"].dtype)}
+            if w == 1 and _pallas_attn_enabled(max_len):
+                from qeft_tpu.ops.pallas_attention import decode_attention
+
+                ctx = decode_attention(q[:, 0], kc.astype(dtype),
+                                       vc.astype(dtype), pos)
+                ctx = ctx.reshape(b, 1, hq_l * dh)
+            else:
+                ctx = _attention(
+                    q, kc.astype(dtype), vc.astype(dtype), mask,
+                    hq_l // hkv_l, dtype,
+                )
+
+        # heads were interleaved shard-contiguously, so the tiled gather
+        # reassembles the FULL head-ordered context
+        ctx_full = jax.lax.all_gather(ctx, "tp", axis=2, tiled=True)
+        o_in = ctx_full
+        if "o_reorder" in blk:
+            o_in = jnp.take(ctx_full, blk["o_reorder"], axis=-1)
+        xc = xc + jax.lax.psum(
+            _row_parallel_apply_stacked(blk["o"], o_in, my, tp, dtype), "tp"
+        )
+
+        ug = qlinear_fused_stage(
+            xc, blk["upgate"], lnw=blk["post_ln"], eps=cfg.rms_norm_eps,
+            one_offset=cfg.rms_one_offset, dtype=dtype,
+        )  # local [up_t|gate_t]
+        f_l = ug.shape[-1] // 2
+        act = _act(ug[..., f_l:], cfg.act) * ug[..., :f_l]
+        # local act covers MLP-internal dims [t*f/tp, (t+1)*f/tp): exactly
+        # down's K-shard t — NO gather needed for the dense part; the
+        # outlier slab needs the tail, so gather once
+        act_full = jax.lax.all_gather(act, "tp", axis=2, tiled=True)
+        xc = xc + jax.lax.psum(
+            _row_parallel_apply_stacked(blk["down"], act_full, my, tp, dtype),
+            "tp",
+        )
+        return xc, new_c
+
+    x, tok = jax.lax.scan(body, x, (jnp.arange(n_layers), cache))
+    new_cache = _cache_token_write(cache, tok, pos)
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
+    logits_local = apply_linear(params["lm_head"], x, x.dtype)  # [B,W,V/tp]
+    return logits_local, new_cache
+
+
+def tp_forward_window(
+    params: Dict,
+    tokens: jax.Array,  # [B, W]
+    cache: Dict,  # KV (+ int8 scale planes) sharded over kv heads
+    pos: jax.Array,
+    cfg: LlamaConfig,
+    mesh: Mesh,
+):
+    """W-token window forward under shard_map over 'tp' (W=ctx: prefill;
+    W=1: decode; W=gamma+1: speculative verify).  Returns global logits
+    [B, W, V] and the sharded cache."""
+    tp = mesh.shape["tp"]
+    hq, hkv = cfg.num_heads, cfg.num_kv_heads
+    assert hq % tp == 0 and hkv % tp == 0, (hq, hkv, tp)
+    param_specs, cache_specs = _tp_specs(params, cache)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(param_specs, P(None, None), cache_specs, P()),
-        out_specs=(P(None, "tp"), cache_specs),
+        out_specs=(P(None, None, "tp"), cache_specs),
         check_vma=False,
     )
-    def step(params, token, cache, pos):
-        my = jax.lax.axis_index("tp")
-        b = token.shape[0]
-        dtype = params["embed"].dtype
-        x = _embed(params, token, cfg)
-        cos, sin = rope_tables(cfg, pos[None, None])
-        max_len = cache["k"].shape[3]
-        valid = jnp.arange(max_len)[None, None, None, :] <= pos
-        mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
+    def fwd(params, tokens, cache, pos):
+        return _tp_window_body(params, tokens, cache, pos, cfg, tp)
 
-        def body(xc, inp):
-            blk, kc, vc = inp  # kc/vc: [B, hkv_l, S, dh] local heads (head-major)
-            h = rms_norm(xc, blk["input_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
-            qkv = apply_linear(blk["qkv"], h, dtype)  # local [q_t|k_t|v_t]
-            q = qkv[..., : hq_l * dh].reshape(b, 1, hq_l, dh)
-            k = qkv[..., hq_l * dh : (hq_l + hkv_l) * dh].reshape(b, 1, hkv_l, dh)
-            v = qkv[..., (hq_l + hkv_l) * dh :].reshape(b, 1, hkv_l, dh)
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
-            kc = jax.lax.dynamic_update_slice(
-                kc, k.transpose(0, 2, 1, 3).astype(kc.dtype), (0, 0, pos, 0)
-            )
-            vc = jax.lax.dynamic_update_slice(
-                vc, v.transpose(0, 2, 1, 3).astype(vc.dtype), (0, 0, pos, 0)
-            )
-            ctx = _attention(
-                q, kc.astype(dtype), vc.astype(dtype), mask, hq_l // hkv_l, dtype
-            )
+    return fwd(params, tokens, cache, pos)
 
-            # heads were interleaved shard-contiguously, so the tiled gather
-            # reassembles the FULL head-ordered context
-            ctx_full = jax.lax.all_gather(ctx, "tp", axis=2, tiled=True)
-            o_in = ctx_full
-            if "o_reorder" in blk:
-                o_in = jnp.take(ctx_full, blk["o_reorder"], axis=-1)
-            attn_out = jax.lax.psum(
-                _row_parallel_apply(blk["o"], o_in, my, tp, dtype), "tp"
+
+def tp_decode_step(
+    params: Dict,
+    token: jax.Array,  # [B, 1]
+    cache: Dict,
+    pos: jax.Array,
+    cfg: LlamaConfig,
+    mesh: Mesh,
+):
+    """One decode step under shard_map over the 'tp' axis, running the
+    single-chip default kernel stack per shard (stacked gemv + fused stages
+    + Pallas/int8 decode attention where enabled).
+
+    Requires a stage-fused packed model laid out by `tp_shard_packed_params`;
+    num_heads, num_kv_heads and every row-parallel group count must divide tp.
+    """
+    logits, new_cache = tp_forward_window(params, token, cache, pos, cfg, mesh)
+    return logits[:, 0, :], new_cache
+
+
+def tp_generate(
+    params: Dict,
+    prompt: jax.Array,  # [B, S_prompt]
+    cache: Dict,
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    max_new_tokens: int,
+):
+    """Greedy TP generation: ONE shard_map'd prefill program + ONE
+    shard_map'd decode-loop program (the whole token loop inside, one
+    all_gather of [B, V/tp] logits per step for the argmax) — the TP twin of
+    `generate`'s split-program structure."""
+    b, s_prompt = prompt.shape
+    tp = mesh.shape["tp"]
+    param_specs, cache_specs = _tp_specs(params, cache)
+
+    logits, cache = tp_forward_window(
+        params, prompt, cache, jnp.int32(0), cfg, mesh
+    )
+    first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(param_specs, P(None), cache_specs),
+        out_specs=(P(None, None), cache_specs),
+        check_vma=False,
+    )
+    def decode_loop(params, first, cache):
+        out = jnp.zeros((b, max_new_tokens), jnp.int32)
+        out = out.at[:, 0].set(first)
+
+        def step(i, carry):
+            out, cache = carry
+            cur = jax.lax.dynamic_slice(out, (0, i - 1), (b, 1))
+            logits_local, cache = _tp_window_body(
+                params, cur, cache, jnp.int32(s_prompt) + i - 1, cfg, tp
             )
-            xc = xc + attn_out
-
-            h2 = rms_norm(xc, blk["post_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
-            ug = apply_linear(blk["upgate"], h2, dtype)  # local [up_t|gate_t]
-            f_l = ug.shape[-1] // 2
-            act = _act(ug[..., f_l:], cfg.act) * ug[..., :f_l]
-            # local act covers MLP-internal dims [t*f/tp, (t+1)*f/tp): exactly
-            # down's K-shard t — NO gather needed for the dense part; the
-            # outlier slab needs the tail, so gather once
-            act_full = jax.lax.all_gather(act, "tp", axis=2, tiled=True)
-            xc = xc + jax.lax.psum(
-                _row_parallel_apply(blk["down"], act_full, my, tp, dtype), "tp"
+            logits_full = jax.lax.all_gather(
+                logits_local[:, 0, :], "tp", axis=1, tiled=True
             )
-            return xc, (kc, vc)
+            nxt = jnp.argmax(logits_full, axis=-1).astype(jnp.int32)
+            out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
+            return out, cache
 
-        x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
-        x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
-        logits_local = apply_linear(params["lm_head"], x, x.dtype)  # [B,1,V/tp]
-        return logits_local[:, 0, :], {"k": ks, "v": vs}
+        return jax.lax.fori_loop(1, max_new_tokens, step, (out, cache))
 
-    return step(params, token, cache, pos)
+    return decode_loop(params, first, cache)

@@ -157,8 +157,9 @@ def _lin_spec(leaf: QLinearParams, shard_n: bool, with_oweight: bool):
     if shard_n:
         qw = sc = ow = P(None, None, "tp")
     else:
-        qw = P(None, "tp", None)
-        sc = ow = P(None, None, None)
+        # row-parallel: group params shard WITH the K rows
+        qw = sc = P(None, "tp", None)
+        ow = P(None, None, None)
     bias_spec = (P(None, "tp") if shard_n else P(None, None))
     return QLinearParams(
         qweight=qw, scales=sc, scaled_zeros=sc,

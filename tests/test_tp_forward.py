@@ -89,3 +89,50 @@ def test_tp_decode_bias_and_no_outlier():
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(ref_logits), rtol=2e-3, atol=2e-3,
     )
+
+
+def test_tp_decode_int8_kv_matches_single_device(monkeypatch):
+    """int8-KV cache (codes + per-vector scale planes) sharded over kv heads
+    must match the single-device int8 decode step."""
+    packed = fused_packed()
+    packed = jax.tree.map(jnp.asarray, packed)
+
+    cache = init_kv_cache(CFG, 1, 128, quantized=True)
+    prompt = jnp.asarray([[1, 2, 3, 4]])
+    _, cache = llama_prefill(packed, prompt, cache, CFG)
+    tok = jnp.asarray([[5]])
+    ref_logits, ref_cache = llama_decode_step(packed, tok, cache, jnp.int32(4), CFG)
+
+    mesh = make_mesh((1, 2), axis_names=("dp", "tp"), devices=jax.devices()[:2])
+    sharded = tp_shard_packed_params(packed, mesh, CFG)
+    logits, new_cache = tp_decode_step(
+        sharded, tok, jax.device_put(cache), jnp.int32(4), CFG, mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-3, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_cache["k_scale"][:, :, :, 4]),
+        np.asarray(ref_cache["k_scale"][:, :, :, 4]),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_tp_generate_matches_single_device():
+    """tp_generate (split prefill program + in-shard_map decode loop) must
+    emit the same greedy tokens as single-chip generate."""
+    from qeft_tpu.generate import SampleConfig, generate
+    from qeft_tpu.parallel.tp_forward import tp_generate
+
+    packed = fused_packed()
+    packed = jax.tree.map(jnp.asarray, packed)
+    prompt = jnp.asarray([[1, 2, 3, 4, 5, 6]])
+
+    cache = init_kv_cache(CFG, 1, 32, dtype=jnp.float32)
+    ref_tokens, _ = generate(packed, prompt, cache, CFG, 8, SampleConfig())
+
+    mesh = make_mesh((1, 2), axis_names=("dp", "tp"), devices=jax.devices()[:2])
+    sharded = tp_shard_packed_params(packed, mesh, CFG)
+    cache2 = init_kv_cache(CFG, 1, 32, dtype=jnp.float32)
+    tokens, _ = tp_generate(sharded, prompt, jax.device_put(cache2), CFG, mesh, 8)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
