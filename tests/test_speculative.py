@@ -325,3 +325,33 @@ def test_layer_sliced_self_draft():
     )
     # regardless of draft quality the emitted tokens ARE the target's greedy
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(out))
+
+
+def test_selfdraft_greedy_accepts_gamma_under_kernels(monkeypatch):
+    """With the flash window attention on (the width-invariant path), a
+    full-depth SELF-draft (draft == target) must accept gamma/gamma even in
+    bf16 with the Pallas (interpret) kernels — the on-chip condition where
+    the eager verify path tie-broke differently (round-2 chip session 4:
+    3.4/4.0)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qeft_tpu.models.llama import LLAMA_PRESETS, init_kv_cache
+    from qeft_tpu.speculative import speculative_generate
+    from qeft_tpu.testing import build_packed_model
+
+    monkeypatch.setenv("QEFT_FLASH_ATTN", "1")
+    monkeypatch.setenv("QEFT_PALLAS", "1")
+    cfg = LLAMA_PRESETS["tiny-v2"]
+    params = build_packed_model(cfg, jax.random.PRNGKey(9), fuse_stages=True)
+    gamma, gen = 4, 12
+    prompt = jnp.asarray(
+        np.random.default_rng(9).integers(0, cfg.vocab_size, size=(1, 8))
+    )
+    t_cache = init_kv_cache(cfg, 1, 64, dtype=jnp.bfloat16)
+    d_cache = init_kv_cache(cfg, 1, 64, dtype=jnp.bfloat16)
+    out, tel = speculative_generate(
+        params, params, prompt, t_cache, d_cache, cfg, cfg, gen, gamma=gamma
+    )
+    assert float(tel["mean_accept_length"]) == float(gamma), tel
