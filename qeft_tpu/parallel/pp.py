@@ -74,15 +74,148 @@ def _run_span(local_layers, local_cache, x, cfg, cos, sin, mask, pos):
     return jax.lax.scan(body, x, (local_layers, local_cache))
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "mesh", "n_microbatches"),
-)
+def _pick_m_count(b: int, n_pp: int, n_microbatches: int) -> int:
+    if n_microbatches:
+        m_count = n_microbatches
+    else:
+        # largest divisor of b that is <= the stage count (n_pp itself when
+        # it divides b): the minimum count that keeps every stage busy
+        m_count = max(m for m in range(1, min(n_pp, b) + 1) if b % m == 0)
+    assert b % m_count == 0, (b, m_count)
+    return m_count
+
+
+def _pp_specs(params: Dict, cache: Dict):
+    lay = P("pp")
+    rep = P()
+    param_specs = {
+        k: (jax.tree.map(lambda _: lay, v) if k == "layers"
+            else jax.tree.map(lambda _: rep, v))
+        for k, v in params.items()
+    }
+    return param_specs, jax.tree.map(lambda _: lay, cache)
+
+
+def _pp_stage_window(params_l, toks, cache_l, pos_, *, cfg, n_pp, m_count):
+    """One GPipe-scheduled W-token window on the LOCAL layer span (runs
+    inside shard_map over 'pp').  W = prompt length: pipelined prefill;
+    W = 1: one decode tick-loop.  Returns (last-position logits [B, V]
+    replicated via psum, updated local cache)."""
+    p = jax.lax.axis_index("pp")
+    b, w = toks.shape
+    mb = b // m_count
+    max_len = cache_l["k"].shape[3]
+    # replicated prologue: embedding + rope + mask for ALL microbatches
+    x0 = _embed(params_l, toks, cfg).reshape(m_count, mb, w, -1)
+    positions = pos_ + jnp.arange(w)[None, :]
+    cos, sin = rope_tables(cfg, positions)
+    key_pos = jnp.arange(max_len)[None, None, None, :]
+    query_pos = positions[:, None, :, None]
+    mask = jnp.where(key_pos <= query_pos, 0.0, -jnp.inf).astype(jnp.float32)
+
+    vocab = cfg.vocab_size
+    logits_acc = jnp.zeros((m_count, mb, vocab), jnp.float32)
+    carry = jnp.zeros_like(x0[0])  # activation arriving from prev stage
+
+    def tick(t, state):
+        carry, cache_c, logits_acc = state
+        m = t - p  # this stage's microbatch index at tick t
+        active = (m >= 0) & (m < m_count)
+        m_c = jnp.clip(m, 0, m_count - 1)
+
+        x_in = jnp.where(p == 0, x0[m_c], carry)
+        # slice this microbatch's cache rows [L/P, mb, H, S, Dh]
+        c_mb = jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, m_c * mb, mb, axis=1),
+            cache_c,
+        )
+        x_out, tok = _run_span(
+            params_l["layers"], c_mb, x_in, cfg, cos, sin, mask, pos_
+        )
+
+        # masked token-granular write-back: only the window's W slots of
+        # the microbatch's KV rows (never a full-slab rewrite)
+        def wb(a, n):
+            start = (0, m_c * mb, 0, pos_, 0)[: a.ndim]
+            n = n.astype(a.dtype)
+            cur = jax.lax.dynamic_slice(a, start, n.shape)
+            return jax.lax.dynamic_update_slice(
+                a, jnp.where(active, n, cur), start
+            )
+
+        cache_c = jax.tree.map(wb, cache_c, tok)
+        # last stage only: project to logits and accumulate (lax.cond on
+        # the per-device axis_index keeps the vocab-sized lm_head matmul
+        # — roughly a layer's worth of FLOPs — off the other stages)
+        def project(_):
+            h = rms_norm(x_out[:, -1:, :], params_l["final_ln"],
+                         cfg.rms_norm_eps, cfg.rms_one_offset)
+            lg = apply_linear(params_l["lm_head"], h, h.dtype)
+            return lg[:, 0, :].astype(jnp.float32)
+
+        take = active & (p == n_pp - 1)
+        lg = jax.lax.cond(
+            take, project, lambda _: jnp.zeros((mb, vocab), jnp.float32),
+            None,
+        )
+        logits_acc = jax.lax.dynamic_update_slice_in_dim(
+            logits_acc,
+            jnp.where(
+                take,
+                lg,
+                jax.lax.dynamic_slice_in_dim(logits_acc, m_c, 1, axis=0)[0],
+            )[None],
+            m_c,
+            axis=0,
+        )
+        # ring-step activations to the next stage
+        carry = jax.lax.ppermute(
+            x_out, "pp", [(i, (i + 1) % n_pp) for i in range(n_pp)]
+        )
+        return carry, cache_c, logits_acc
+
+    n_ticks = n_pp + m_count - 1
+    _, cache_l, logits_acc = jax.lax.fori_loop(
+        0, n_ticks, tick, (carry, cache_l, logits_acc)
+    )
+    # only the last stage holds real logits; psum replicates them
+    logits = jax.lax.psum(logits_acc, "pp").reshape(b, vocab)
+    return logits, cache_l
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "n_microbatches"))
+def pp_forward_window(
+    params: Dict,
+    tokens: jax.Array,  # [B, W]
+    cache: Dict,  # [L, B, H_kv, S_max, Dh] leaves, L sharded over pp
+    pos: jax.Array,  # scalar int32
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    n_microbatches: int = 0,
+) -> Tuple[jax.Array, Dict]:
+    """Pipelined W-token window (W=prompt: SHARDED prefill — each stage runs
+    only its layer span, microbatches overlap on the GPipe schedule; W=1:
+    one decode step).  Returns (last-position logits [B, V], new cache)."""
+    n_pp = mesh.shape["pp"]
+    b = tokens.shape[0]
+    m_count = _pick_m_count(b, n_pp, n_microbatches)
+    assert cfg.num_layers % n_pp == 0, (cfg.num_layers, n_pp)
+    param_specs, cache_specs = _pp_specs(params, cache)
+
+    stage = partial(_pp_stage_window, cfg=cfg, n_pp=n_pp, m_count=m_count)
+    return jax.shard_map(
+        stage, mesh=mesh,
+        in_specs=(param_specs, P(), cache_specs, P()),
+        out_specs=(P(), cache_specs),
+        check_vma=False,
+    )(params, tokens, cache, pos)
+
+
 def pp_decode_step(
     params: Dict,
     tokens: jax.Array,  # [B, 1]
-    cache: Dict,  # [L, B, H_kv, S_max, Dh] leaves, L sharded over pp
-    pos: jax.Array,  # scalar int32
+    cache: Dict,
+    pos: jax.Array,
     cfg: LlamaConfig,
     mesh: Mesh,
     n_microbatches: int = 0,
@@ -92,115 +225,54 @@ def pp_decode_step(
     ``n_microbatches`` defaults to the number of pipeline stages (the minimum
     that keeps every stage busy in steady state); must divide B.
     """
+    return pp_forward_window(params, tokens, cache, pos, cfg, mesh,
+                             n_microbatches=n_microbatches)
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "mesh", "max_new_tokens", "s_prompt",
+                          "n_microbatches"))
+def _pp_decode_loop(
+    params: Dict,
+    first: jax.Array,  # [B]
+    cache: Dict,
+    s_prompt: int,
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    max_new_tokens: int,
+    n_microbatches: int = 0,
+):
+    """The WHOLE greedy decode loop inside one shard_map — one host dispatch
+    per burst instead of one per token (round-2 VERDICT next-#9: pp_generate
+    decoded with a per-token Python loop, one dispatch per token)."""
     n_pp = mesh.shape["pp"]
-    b = tokens.shape[0]
-    if not n_microbatches:
-        # largest divisor of b that is <= the stage count (n_pp itself when
-        # it divides b): the minimum count that keeps every stage busy
-        m_count = max(m for m in range(1, min(n_pp, b) + 1) if b % m == 0)
-    else:
-        m_count = n_microbatches
-    assert b % m_count == 0, (b, m_count)
-    mb = b // m_count
-    assert cfg.num_layers % n_pp == 0, (cfg.num_layers, n_pp)
+    b = first.shape[0]
+    m_count = _pick_m_count(b, n_pp, n_microbatches)
+    param_specs, cache_specs = _pp_specs(params, cache)
+    stage = partial(_pp_stage_window, cfg=cfg, n_pp=n_pp, m_count=m_count)
 
-    lay = P("pp")
-    rep = P()
-    in_specs = (
-        {k: (jax.tree.map(lambda _: lay, v) if k == "layers"
-             else jax.tree.map(lambda _: rep, v))
-         for k, v in params.items()},
-        rep,  # tokens
-        jax.tree.map(lambda _: lay, cache),
-        rep,  # pos
-    )
-    out_specs = (rep, jax.tree.map(lambda _: lay, cache))
+    def loop(params_l, first, cache_l):
+        out = jnp.zeros((b, max_new_tokens), jnp.int32)
+        out = out.at[:, 0].set(first)
 
-    max_len = cache["k"].shape[3]
-
-    def stage(params_l, toks, cache_l, pos_):
-        p = jax.lax.axis_index("pp")
-        # replicated prologue: embedding + rope + mask for ALL microbatches
-        x0 = _embed(params_l, toks, cfg)  # [B, 1, D]
-        x0 = x0.reshape(m_count, mb, 1, -1)
-        positions = (pos_ + jnp.zeros((1, 1), jnp.int32)).astype(jnp.int32)
-        cos, sin = rope_tables(cfg, positions)
-        key_pos = jnp.arange(max_len)[None, None, None, :]
-        mask = jnp.where(key_pos <= pos_, 0.0, -jnp.inf).astype(jnp.float32)
-
-        vocab = cfg.vocab_size
-        logits_acc = jnp.zeros((m_count, mb, vocab), jnp.float32)
-        carry = jnp.zeros_like(x0[0])  # activation arriving from prev stage
-
-        def tick(t, state):
-            carry, cache_c, logits_acc = state
-            m = t - p  # this stage's microbatch index at tick t
-            active = (m >= 0) & (m < m_count)
-            m_c = jnp.clip(m, 0, m_count - 1)
-
-            x_in = jnp.where(p == 0, x0[m_c], carry)
-            # slice this microbatch's cache rows [L/P, mb, H, S, Dh]
-            c_mb = jax.tree.map(
-                lambda a: jax.lax.dynamic_slice_in_dim(a, m_c * mb, mb, axis=1),
-                cache_c,
+        def step(i, state):
+            out, cache_l = state
+            cur = jax.lax.dynamic_slice(out, (0, i - 1), (b, 1))
+            logits, cache_l = stage(
+                params_l, cur, cache_l, jnp.int32(s_prompt) + i - 1
             )
-            x_out, tok = _run_span(
-                params_l["layers"], c_mb, x_in, cfg, cos, sin, mask, pos_
-            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
+            return out, cache_l
 
-            # masked token-granular write-back: only the new token's slot of
-            # the microbatch's KV rows (was a full-slab rewrite per tick)
-            def wb(a, n):
-                start = (0, m_c * mb, 0, pos_, 0)[: a.ndim]
-                n = n.astype(a.dtype)
-                cur = jax.lax.dynamic_slice(a, start, n.shape)
-                return jax.lax.dynamic_update_slice(
-                    a, jnp.where(active, n, cur), start
-                )
-
-            cache_c = jax.tree.map(wb, cache_c, tok)
-            # last stage only: project to logits and accumulate (lax.cond on
-            # the per-device axis_index keeps the vocab-sized lm_head matmul
-            # — roughly a layer's worth of FLOPs — off the other stages)
-            def project(_):
-                h = rms_norm(x_out, params_l["final_ln"], cfg.rms_norm_eps,
-                             cfg.rms_one_offset)
-                lg = apply_linear(params_l["lm_head"], h, h.dtype)
-                return lg[:, 0, :].astype(jnp.float32)
-
-            take = active & (p == n_pp - 1)
-            lg = jax.lax.cond(
-                take, project, lambda _: jnp.zeros((mb, vocab), jnp.float32),
-                None,
-            )
-            logits_acc = jax.lax.dynamic_update_slice_in_dim(
-                logits_acc,
-                jnp.where(
-                    take,
-                    lg,
-                    jax.lax.dynamic_slice_in_dim(logits_acc, m_c, 1, axis=0)[0],
-                )[None],
-                m_c,
-                axis=0,
-            )
-            # ring-step activations to the next stage
-            carry = jax.lax.ppermute(
-                x_out, "pp", [(i, (i + 1) % n_pp) for i in range(n_pp)]
-            )
-            return carry, cache_c, logits_acc
-
-        n_ticks = n_pp + m_count - 1
-        _, cache_l, logits_acc = jax.lax.fori_loop(
-            0, n_ticks, tick, (carry, cache_l, logits_acc)
-        )
-        # only the last stage holds real logits; psum replicates them
-        logits = jax.lax.psum(logits_acc, "pp").reshape(b, vocab)
-        return logits, cache_l
+        return jax.lax.fori_loop(1, max_new_tokens, step, (out, cache_l))
 
     return jax.shard_map(
-        stage, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        loop, mesh=mesh,
+        in_specs=(param_specs, P(), cache_specs),
+        out_specs=(P(), cache_specs),
         check_vma=False,
-    )(params, tokens, cache, pos)
+    )(params, first, cache)
 
 
 def pp_generate(
@@ -212,28 +284,23 @@ def pp_generate(
     max_new_tokens: int,
     n_microbatches: int = 0,
 ) -> jax.Array:
-    """Greedy generation through the pipelined decode step.
-
-    The whole-prompt prefill is a large matmul workload XLA already keeps
-    busy, so it runs replicated (llama_prefill); only the decode loop —
-    where stage overlap matters — goes through `pp_decode_step`.
+    """Greedy pipelined generation, pod-shaped: a SHARDED pipelined prefill
+    (each stage computes only its layer span) followed by the whole decode
+    loop in ONE compiled program — two host dispatches total.
     Returns tokens [B, max_new_tokens].
     """
-    from qeft_tpu.models.llama import llama_prefill
-
     b, s_prompt = prompt.shape
-    logits, cache = llama_prefill(params, prompt, cache, cfg)
     p_sh, c_sh = pp_shardings(params, cache, mesh)
     params = jax.device_put(params, p_sh)
     cache = jax.device_put(cache, c_sh)
 
-    tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
-    out = [tok]
-    for i in range(max_new_tokens - 1):
-        logits, cache = pp_decode_step(
-            params, tok, cache, jnp.int32(s_prompt + i), cfg, mesh,
-            n_microbatches=n_microbatches,
-        )
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
-        out.append(tok)
-    return jnp.concatenate(out, axis=1)
+    logits, cache = pp_forward_window(
+        params, prompt, cache, jnp.int32(0), cfg, mesh,
+        n_microbatches=n_microbatches,
+    )
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    out, _ = _pp_decode_loop(
+        params, first, cache, s_prompt, cfg, mesh, max_new_tokens,
+        n_microbatches=n_microbatches,
+    )
+    return out
