@@ -38,11 +38,17 @@ verify-cli:
 	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.main \
 	    opt-tiny synthetic --load /tmp/qeft_verify/ckpt_opt_packed --eval \
 	    --eval_windows 2 --seqlen 32 --benchmark 8
-	# falcon: per-layer outlier path (no global reorder — parallel-residual
-	# block; reference quantizes falcon with percdamp=1.0, misc.py:132-136)
-	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.main \
+	# falcon: full OGR path (family-generic reorder; the parallel-residual
+	# block permutes exactly — reference quantizes falcon with percdamp=1.0,
+	# misc.py:132-136)
+	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.extract_outidx \
 	    falcon-tiny synthetic --wbits 4 --target_rank 8 --groupsize 64 \
 	    --no_frob_norm --nsamples 2 --seqlen 32 \
+	    --output_dir /tmp/qeft_verify/oidx_falcon
+	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.main \
+	    falcon-tiny synthetic --wbits 4 --target_rank 8 --groupsize 64 \
+	    --no_frob_norm --nsamples 2 --seqlen 32 --reorder \
+	    --outidx_file /tmp/qeft_verify/oidx_falcon/w4_r8/outidx.npy \
 	    --packing --save /tmp/qeft_verify/ckpt_falcon --eval --eval_windows 2
 	env JAX_PLATFORMS=cpu PYTHONPATH=. python -m qeft_tpu.main \
 	    falcon-tiny synthetic --load /tmp/qeft_verify/ckpt_falcon_packed --eval \

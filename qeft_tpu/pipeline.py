@@ -477,10 +477,14 @@ def quantize_model(
     """
     if args.reorder:
         assert outidx is not None, "global reorder needs the extracted outidx"
-        assert meta.family in ("llama", "gemma", "opt", "phi"), (
-            "static global reorder is implemented for llama/gemma/opt/phi; "
-            "quantize bloom/falcon with reorder=False (per-layer outliers)"
-        )
+        # family-generic, like the reference's make_reorder
+        # (/root/reference/qeft/reorder.py:148-176): the residual-stream
+        # permutation is exact for RMSNorm AND LayerNorm models (both are
+        # elementwise after permutation-invariant statistics), for bloom's
+        # embedding LayerNorm (permuted with the stream), for falcon's
+        # parallel-residual block (qkv and fc1 share the permuted ln(x)),
+        # and for ALiBi (a head-space score bias, untouched by a
+        # hidden-dim permutation) — tested per family in test_pipeline.py
     spec = args.spec
     tokens = jnp.asarray(calib_tokens)
     embed_fn, hess_fn, fwd_fn = _family_ops(meta)
@@ -656,6 +660,9 @@ def reorder_model(
         new["embed_pos"] = jnp.take(params["embed_pos"], g_ids, axis=1)
     if "final_ln_b" in params:
         new["final_ln_b"] = jnp.take(params["final_ln_b"], g_ids, axis=0)
+    for k in ("embed_ln", "embed_ln_b"):  # bloom's post-embedding LayerNorm
+        if k in params:
+            new[k] = jnp.take(params[k], g_ids, axis=0)
 
     (o_name,) = meta.out
     (f2_name,) = meta.ffn2
@@ -741,6 +748,9 @@ def reorder_model_host(
         new["embed_pos"] = _np.ascontiguousarray(_np.asarray(params["embed_pos"])[:, g_ids])
     if "final_ln_b" in params:
         new["final_ln_b"] = _np.asarray(params["final_ln_b"])[g_ids]
+    for k in ("embed_ln", "embed_ln_b"):  # bloom's post-embedding LayerNorm
+        if k in params:
+            new[k] = _np.asarray(params[k])[g_ids]
 
     def writable(v):
         a = _np.asarray(v)

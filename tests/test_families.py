@@ -2,10 +2,12 @@
 decode parity, quantization pipeline, and the fake-vs-packed oracle
 (VERDICT round-1 missing #3: a meta without a forward is not a capability).
 
-phi additionally runs the full OGR (global reorder) path — its parallel
-block is LayerNorm-based so the residual permutation is exact; bloom/falcon
-quantize with per-layer outliers (reorder=False), matching the reference's
-support surface.
+Every family runs the full OGR (global reorder) path: the residual
+permutation is exact for LayerNorm blocks (statistics are permutation-
+invariant), for bloom's embedding LayerNorm (permuted with the stream),
+for falcon's parallel-residual block (qkv and fc1 share the permuted
+ln(x)), and under ALiBi (a head-space score bias).  The reference's
+make_reorder is equally family-generic (reorder.py:148-176).
 """
 
 import numpy as np
@@ -36,13 +38,13 @@ FAMILIES = {
         mod=bloom_mod, cfg=bloom_mod.BLOOM_PRESETS["bloom-tiny"],
         forward=bloom_mod.bloom_forward, prefill=bloom_mod.bloom_prefill,
         decode=bloom_mod.bloom_decode_step, init_cache=bloom_mod.init_kv_cache,
-        n_linears=4, reorder=False,
+        n_linears=4, reorder=True,
     ),
     "falcon": dict(
         mod=falcon_mod, cfg=falcon_mod.FALCON_PRESETS["falcon-tiny"],
         forward=falcon_mod.falcon_forward, prefill=falcon_mod.falcon_prefill,
         decode=falcon_mod.falcon_decode_step, init_cache=falcon_mod.init_kv_cache,
-        n_linears=4, reorder=False,
+        n_linears=4, reorder=True,
     ),
 }
 
@@ -157,3 +159,46 @@ def test_checkpoint_family_roundtrip(fam, tmp_path):
     toks_a, _ = generate(packed, prompt, cache, cfg, 6, SampleConfig(), api=api)
     toks_b, _ = generate(loaded, prompt, cache, lcfg, 6, SampleConfig(), api=api)
     np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_b))
+
+
+def test_reorder_is_exact_isomorphism_per_family(fam):
+    """Global reorder of an UNQUANTIZED model must not change its function —
+    per family (bloom: embed LayerNorm + ALiBi; falcon: parallel residual)."""
+    from qeft_tpu.pipeline import QuantizerState, reorder_model
+
+    name, f = fam
+    cfg = f["cfg"]
+    params = f["mod"].init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    meta = get_model_meta(name)
+    rng = np.random.default_rng(2)
+    d = cfg.hidden_size
+    global_out = jnp.asarray(np.sort(rng.choice(d, size=4, replace=False)))
+
+    def in_features(lin_name):
+        return params["layers"][lin_name].shape[1]
+
+    def out_features(lin_name):
+        return params["layers"][lin_name].shape[2]
+
+    def dummy_state(k_in, n_out_dim, r):
+        out_ids = jnp.asarray(np.sort(rng.choice(k_in, size=r, replace=False)))
+        g = max(k_in // 64, 1)
+        return QuantizerState(
+            scale_group=jnp.ones((n_out_dim, g)),
+            zero_group=jnp.zeros((n_out_dim, g)),
+            out_ids=out_ids, sym=False, bits=4, group_size=64,
+        )
+
+    quantizers = {}
+    for i in range(cfg.num_layers):
+        for lin in meta.qkv + meta.out + meta.ffn1 + meta.ffn2:
+            quantizers[(i, lin)] = dummy_state(
+                in_features(lin), out_features(lin), 4
+            )
+
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 12)))
+    before = np.asarray(f["forward"](params, tokens, cfg))
+    reordered = reorder_model(params, quantizers, global_out, cfg, meta)
+    assert "o_reorder" in reordered["layers"]
+    after = np.asarray(f["forward"](reordered, tokens, cfg))
+    np.testing.assert_allclose(after, before, rtol=1e-4, atol=1e-4)
