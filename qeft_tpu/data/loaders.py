@@ -29,6 +29,32 @@ def _crop_samples(ids: np.ndarray, nsamples: int, seqlen: int, seed: int) -> np.
     return out
 
 
+def _sample_doc_crops(
+    doc_tokens,  # Callable[[int], np.ndarray]: tokenized document i
+    n_docs: int,
+    nsamples: int,
+    seqlen: int,
+    seed: int,
+) -> np.ndarray:
+    """Per-sample RANDOM-DOCUMENT crops — the reference's c4 calibration
+    protocol (datautils.py:58-91): each calibration sample re-draws a random
+    document until one longer than ``seqlen`` tokens is found, then crops a
+    random seqlen window FROM THAT DOCUMENT.  (Joining documents into one
+    corpus and cropping from it — what wikitext-style sources do — yields a
+    different calibration distribution: crops that span document boundaries
+    and a length-weighted document mix.)"""
+    rng = np.random.default_rng(seed)
+    out = np.empty((nsamples, seqlen), dtype=np.int64)
+    for i in range(nsamples):
+        while True:
+            ids = doc_tokens(int(rng.integers(0, n_docs)))
+            if ids.shape[0] > seqlen:
+                break
+        start = int(rng.integers(0, ids.shape[0] - seqlen))
+        out[i] = ids[start : start + seqlen]
+    return out
+
+
 def _tokenize_corpus(text: str, model: str):
     from transformers import AutoTokenizer
 
@@ -101,6 +127,23 @@ def get_calibration_tokens(
         corpus = _synthetic_corpus(vocab_size, max(seqlen * (nsamples + 2), 1 << 16), seed)
     elif name.endswith(".npy"):
         corpus = np.load(name)
+    elif name == "c4":
+        # reference protocol: per-sample random-document crops, tokenizing
+        # only the chosen documents (datautils.py:58-91)
+        import datasets as hfd
+        from transformers import AutoTokenizer
+
+        d = hfd.load_dataset(
+            "allenai/c4",
+            data_files={"train": "en/c4-train.00000-of-01024.json.gz"},
+            split="train",
+        )
+        tok = AutoTokenizer.from_pretrained(model, use_fast=False)
+
+        def doc_tokens(i):
+            return np.asarray(tok(d[i]["text"], return_tensors="np").input_ids[0])
+
+        return _sample_doc_crops(doc_tokens, len(d), nsamples, seqlen, seed)
     else:
         corpus = _load_hf(name, model, train=True)
     return _crop_samples(corpus, nsamples, seqlen, seed)

@@ -15,8 +15,12 @@ notes (falcon-7b lineage, parallel_attn=True):
   artifact; a loader would de-interleave once).
 - Linears carry no biases (HF falcon bias=False); LayerNorms do.
 
-Same conventions as models/llama.py.  Global (OGR) reorder is not supported
-for falcon (reference parity: per-layer outliers only).
+Same conventions as models/llama.py.  Global (OGR) reorder IS supported:
+the parallel-residual block permutes exactly (qkv and fc1 read the permuted
+ln outputs; dense/fc2 outputs permute with the stream).  The
+new_decoder_architecture lineage (falcon-40B/180B: separate ln_attn/ln_mlp,
+GQA kv heads) is covered by ``dual_ln=True`` + the loader's per-group qkv
+de-interleave.
 """
 
 from __future__ import annotations
@@ -48,6 +52,9 @@ class FalconConfig:
     layer_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     dtype: Any = jnp.bfloat16
+    # new_decoder_architecture (falcon-40B/180B): separate ln_attn / ln_mlp
+    # per block (HF FalconConfig.new_decoder_architecture) + GQA kv heads
+    dual_ln: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -60,9 +67,17 @@ class FalconConfig:
 
 FALCON_PRESETS: Dict[str, FalconConfig] = {
     "falcon-7b": FalconConfig(),
+    "falcon-40b": FalconConfig(
+        vocab_size=65024, hidden_size=8192, num_layers=60, num_heads=128,
+        num_kv_heads=8, dual_ln=True,
+    ),
     "falcon-tiny": FalconConfig(
         vocab_size=256, hidden_size=128, num_layers=2, num_heads=4,
         num_kv_heads=1, max_position_embeddings=128,
+    ),
+    "falcon-tiny-40b": FalconConfig(
+        vocab_size=256, hidden_size=128, num_layers=2, num_heads=4,
+        num_kv_heads=2, max_position_embeddings=128, dual_ln=True,
     ),
 }
 
@@ -78,7 +93,7 @@ def init_params(cfg: FalconConfig, key: jax.Array, dtype=None) -> Dict:
 
     def block(k):
         ks = jax.random.split(k, 4)
-        return {
+        blk = {
             "attn_ln": jnp.ones((d,), dtype),
             "attn_ln_b": jnp.zeros((d,), dtype),
             "qkv": lin(ks[0], d, (hq + 2 * hkv) * dh),
@@ -86,6 +101,10 @@ def init_params(cfg: FalconConfig, key: jax.Array, dtype=None) -> Dict:
             "fc1": lin(ks[2], d, f),
             "fc2": lin(ks[3], f, d),
         }
+        if cfg.dual_ln:
+            blk["mlp_ln"] = jnp.ones((d,), dtype)
+            blk["mlp_ln_b"] = jnp.zeros((d,), dtype)
+        return blk
 
     blocks = [block(jax.random.fold_in(keys[0], i)) for i in range(cfg.num_layers)]
     return {
@@ -108,13 +127,19 @@ def falcon_block(
     cache_pos: Optional[jax.Array] = None,
     capture: bool = False,
 ):
-    """One PARALLEL falcon block: x + attn(ln(x)) + mlp(ln(x)); same cache
-    contract as llama_block."""
+    """One PARALLEL falcon block: x + attn(ln_attn(x)) + mlp(ln_mlp(x)); the
+    falcon-7b lineage shares ONE ln (ln_mlp == ln_attn), the
+    new_decoder_architecture lineage (falcon-40B/180B) carries a separate
+    "mlp_ln".  Same cache contract as llama_block."""
     b, s, d = x.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     dtype = x.dtype
 
     h = layer_norm(x, blk["attn_ln"], blk["attn_ln_b"], cfg.layer_norm_eps)
+    h_mlp = (
+        layer_norm(x, blk["mlp_ln"], blk["mlp_ln_b"], cfg.layer_norm_eps)
+        if "mlp_ln" in blk else h
+    )
     qkv = apply_linear(blk["qkv"], h, dtype)
     q = qkv[..., : hq * dh].reshape(b, s, hq, dh)
     k = qkv[..., hq * dh : (hq + hkv) * dh].reshape(b, s, hkv, dh)
@@ -145,15 +170,17 @@ def falcon_block(
     attn_out = apply_linear(blk["dense"], o_in, dtype)
 
     h1 = jax.nn.gelu(
-        apply_linear(blk["fc1"], h, dtype).astype(jnp.float32), approximate=True
+        apply_linear(blk["fc1"], h_mlp, dtype).astype(jnp.float32),
+        approximate=True,
     ).astype(dtype)
     mlp_out = apply_linear(blk["fc2"], h1, dtype)
 
     x = x + attn_out + mlp_out
     if capture:
         # stage inputs (model_config.json:127-148: [qkv], [dense], [fc1],
-        # [fc2]); qkv and fc1 share the parallel block's normalized input
-        return x, new_kv, {"qkv_in": h, "o_in": ctx, "ffn1_in": h, "ffn2_in": h1}
+        # [fc2]); in the 7b lineage qkv and fc1 share the normalized input
+        return x, new_kv, {"qkv_in": h, "o_in": ctx, "ffn1_in": h_mlp,
+                           "ffn2_in": h1}
     return x, new_kv, None
 
 

@@ -331,48 +331,86 @@ def load_hf_bloom(path: str, dtype=jnp.bfloat16):
     return params, cfg
 
 
+def _falcon_qkv_deinterleave_ids(hq: int, hkv: int, dh: int) -> "np.ndarray":
+    """Column ids turning HF new_decoder_architecture's PER-GROUP fused qkv
+    layout — [q_g0.., k_g0, v_g0, q_g1.., k_g1, v_g1, ...] with hq/hkv query
+    heads per kv group (HF modeling_falcon _split_heads, new arch) — into our
+    contiguous [all q | all k | all v]."""
+    import numpy as np
+
+    q_per = hq // hkv
+    stride = (q_per + 2) * dh
+    ids = []
+    for h in range(hq):  # q heads
+        g, j = divmod(h, q_per)
+        ids.append(np.arange(g * stride + j * dh, g * stride + (j + 1) * dh))
+    for g in range(hkv):  # k heads
+        ids.append(np.arange(g * stride + q_per * dh, g * stride + (q_per + 1) * dh))
+    for g in range(hkv):  # v heads
+        ids.append(np.arange(g * stride + (q_per + 1) * dh, g * stride + stride))
+    return np.concatenate(ids)
+
+
 def load_hf_falcon(path: str, dtype=jnp.bfloat16):
-    """HF FalconForCausalLM (falcon-7b lineage: multi_query, parallel_attn,
-    no linear biases) -> our pytree.  In multi-query layout HF's fused qkv
-    rows are already [all q heads | k | v], matching our contiguous layout."""
+    """HF FalconForCausalLM -> our pytree.  Covers BOTH lineages (the
+    reference loads any falcon via AutoModel, utils/modelutils.py:66-105):
+    - falcon-7b: multi_query, one ln per block; HF's fused qkv rows are
+      already [all q heads | k | v], matching our contiguous layout;
+    - falcon-40B/180B (new_decoder_architecture): GQA kv heads, separate
+      ln_attn/ln_mlp, and a per-kv-group interleaved fused qkv that is
+      de-interleaved once here."""
     import jax
 
     from qeft_tpu.models.falcon import FalconConfig
 
     with open(os.path.join(path, "config.json")) as f:
         hc = json.load(f)
-    if not hc.get("multi_query", True) or hc.get("new_decoder_architecture"):
+    new_arch = bool(hc.get("new_decoder_architecture"))
+    if not new_arch and not hc.get("multi_query", True):
         raise NotImplementedError(
-            "falcon loader supports the falcon-7b lineage (multi_query, "
-            "parallel_attn, not new_decoder_architecture)"
+            "falcon loader supports the falcon-7b (multi_query) and "
+            "new_decoder_architecture lineages"
         )
+    hq = hc["num_attention_heads"]
+    hkv = hc.get("num_kv_heads", hq) if new_arch else 1
     cfg = FalconConfig(
         vocab_size=hc["vocab_size"],
         hidden_size=hc["hidden_size"],
         num_layers=hc["num_hidden_layers"],
-        num_heads=hc["num_attention_heads"],
-        num_kv_heads=1,
+        num_heads=hq,
+        num_kv_heads=hkv,
         layer_norm_eps=hc.get("layer_norm_epsilon", 1e-5),
         rope_theta=hc.get("rope_theta", 10000.0),
+        dual_ln=new_arch,
     )
     get, has = _reader(path)
 
     def arr(name):
         return jnp.asarray(get(name), dtype=dtype)
 
+    qkv_ids = (
+        _falcon_qkv_deinterleave_ids(hq, hkv, cfg.head_dim) if new_arch else None
+    )
+
     blocks = []
     for i in range(cfg.num_layers):
         pre = f"transformer.h.{i}."
-        blocks.append({
-            "attn_ln": arr(pre + "input_layernorm.weight"),
-            "attn_ln_b": arr(pre + "input_layernorm.bias"),
-            "qkv": jnp.asarray(
-                get(pre + "self_attention.query_key_value.weight").T, dtype=dtype
-            ),
+        ln_name = "ln_attn" if new_arch else "input_layernorm"
+        qkv_w = get(pre + "self_attention.query_key_value.weight").T  # [K, N]
+        if qkv_ids is not None:
+            qkv_w = qkv_w[:, qkv_ids]
+        blk = {
+            "attn_ln": arr(pre + f"{ln_name}.weight"),
+            "attn_ln_b": arr(pre + f"{ln_name}.bias"),
+            "qkv": jnp.asarray(qkv_w, dtype=dtype),
             "dense": jnp.asarray(get(pre + "self_attention.dense.weight").T, dtype=dtype),
             "fc1": jnp.asarray(get(pre + "mlp.dense_h_to_4h.weight").T, dtype=dtype),
             "fc2": jnp.asarray(get(pre + "mlp.dense_4h_to_h.weight").T, dtype=dtype),
-        })
+        }
+        if new_arch:
+            blk["mlp_ln"] = arr(pre + "ln_mlp.weight")
+            blk["mlp_ln_b"] = arr(pre + "ln_mlp.bias")
+        blocks.append(blk)
 
     embed = arr("transformer.word_embeddings.weight")
     params = {

@@ -127,7 +127,9 @@ _METAS: Dict[str, ModelMeta] = {
         ffn1=("fc1",),
         ffn2=("fc2",),
         ratios={"qkv": 3.0, "dense": 1.0, "fc1": 0.25, "fc2": 0.25},
-        ln=("attn_ln",),
+        # mlp_ln exists only on new_decoder_architecture (falcon-40B/180B)
+        # blocks; the reorder passes skip ln names a block doesn't carry
+        ln=("attn_ln", "mlp_ln"),
     ),
 }
 

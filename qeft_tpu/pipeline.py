@@ -680,6 +680,8 @@ def reorder_model(
         for name in meta.qkv + meta.ffn1:
             nb[name] = jnp.take(blk[name], g_ids, axis=0)
         for ln in meta.ln:
+            if ln not in blk:  # e.g. falcon mlp_ln (new-arch only)
+                continue
             nb[ln] = jnp.take(blk[ln], g_ids, axis=0)
             perm_if_present(ln + "_b", g_ids)
 
@@ -777,6 +779,8 @@ def reorder_model_host(
         for name in meta.qkv + meta.ffn1:
             layers[name][i] = layers[name][i][g_ids, :]
         for ln in meta.ln:
+            if ln not in layers:  # e.g. falcon mlp_ln (new-arch only)
+                continue
             layers[ln][i] = layers[ln][i][g_ids]
             perm_vec(ln + "_b", i, g_ids)
 

@@ -65,3 +65,23 @@ def test_streamed_eval_matches_jitted_eval():
     a = eval_ppl(params, test, cfg, seqlen=64)
     b = eval_ppl_streamed(params, test, cfg, get_model_meta("llama"), seqlen=64)
     np.testing.assert_allclose(b, a, rtol=1e-4)
+
+
+def test_c4_doc_crop_protocol():
+    """Reference c4 calibration parity (datautils.py:58-91): every sample is
+    cropped from ONE randomly chosen document longer than seqlen — short
+    documents are re-drawn, and no crop spans a document boundary."""
+    import numpy as np
+
+    from qeft_tpu.data.loaders import _sample_doc_crops
+
+    rng = np.random.default_rng(0)
+    # doc i's tokens are all == i, with varying lengths (some too short)
+    lengths = [3, 50, 8, 40, 2, 64]
+    docs = [np.full(n, i, np.int64) for i, n in enumerate(lengths)]
+    out = _sample_doc_crops(lambda i: docs[i], len(docs), nsamples=16,
+                            seqlen=16, seed=0)
+    assert out.shape == (16, 16)
+    for row in out:
+        assert (row == row[0]).all()  # never spans documents
+        assert lengths[int(row[0])] > 16  # short docs were re-drawn
