@@ -182,11 +182,12 @@ def _flash_attn_enabled() -> bool:
 
 
 def _fused_decode_enabled() -> bool:
-    """Default ON: stage-fused decode blocks run norm + matvec + outlier GEMM
-    + residual as ONE pallas_call per stage (qlinear_fused_stage), removing
-    the per-layer XLA glue from the serialized decode chain.
-    QEFT_FUSED_DECODE=0 restores the composed per-op path."""
-    return os.environ.get("QEFT_FUSED_DECODE", "1") not in ("0", "", "false")
+    """Stage-fused decode blocks run norm + matvec + outlier GEMM + residual
+    as ONE pallas_call per stage (qlinear_fused_stage).  Default OFF: on-chip
+    A/B (real 7B ckpt, round 3) measured 90.7 tok/s fused vs 95.2 composed —
+    the per-tile prologue recompute costs more than the XLA glue it removes.
+    QEFT_FUSED_DECODE=1 enables for re-evaluation."""
+    return os.environ.get("QEFT_FUSED_DECODE", "0") not in ("0", "", "false")
 
 
 def _fused_stage_blk(blk: Dict) -> bool:

@@ -47,6 +47,30 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _expand_scales(s_tile, k8: int, h_height: int):
+    """[Gp, BN] group scales -> [k8, BN] per-packed-row scales via a 0/1
+    f32 selection dot (row r selects group r // h_height).
+
+    Measured dead ends, for the record (on-chip A/B, 7B headline): a bf16
+    selection dot + bf16 plane multiply ran 84.6 vs 95.2 tok/s — bf16
+    arithmetic against int32-laned planes forces Mosaic relayouts per
+    plane.  A `pltpu.repeat`-based expansion (no MXU dot at all) measured
+    99.9 tok/s but tpu.repeat tiles whole arrays (row r -> group r %
+    n_groups), which is what motivates the group-interleaved word layout
+    (see packing.py)."""
+    gp = s_tile.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 0) // h_height
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 1)
+    expand = (rows == cols).astype(jnp.float32)
+    return jnp.dot(expand, s_tile.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+
+
+def _plane_weights(plane, s_exp, cdtype):
+    """Dequantize one nibble plane: codes times the expanded scales."""
+    return (plane.astype(jnp.float32) * s_exp).astype(cdtype)
+
+
 def _qmm_kernel(
     xpl_ref, sumx_ref, qw_ref, s_ref, sz_ref, out_ref, *, n_groups: int
 ):
@@ -60,17 +84,10 @@ def _qmm_kernel(
     h = k8 // n_groups  # plane height per group
 
     qw = qw_ref[:]
-    # expand group scales to one row per packed word via an MXU dot with a
-    # 0/1 expansion matrix: every op stays 2D (3D reshape-broadcasts send the
-    # Mosaic compiler into minutes-long relayout searches) and the expansion
-    # serves all 8 planes
-    gp = s_ref.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 0) // h
-    cols = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 1)
-    expand = (rows == cols).astype(jnp.float32)  # [K/8, Gp]
-    s_exp = jnp.dot(
-        expand, s_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
-    )
+    # expand group scales to one row per packed word via an MXU selection dot
+    # (every op stays 2D: 3D reshape-broadcasts send the Mosaic compiler into
+    # minutes-long relayout searches); the expansion serves all 8 planes
+    s_exp = _expand_scales(s_ref[:], k8, h)
 
     acc = jnp.dot(
         sumx_ref[:].astype(cdtype), sz_ref[:].astype(cdtype),
@@ -78,7 +95,7 @@ def _qmm_kernel(
     )
     for p in range(8):
         plane = (qw >> (4 * p)) & 0xF  # int32
-        wp = (plane.astype(jnp.float32) * s_exp).astype(cdtype)
+        wp = _plane_weights(plane, s_exp, cdtype)
         xp = xpl_ref[:, p * k8 : (p + 1) * k8]
         acc += jnp.dot(xp, wp, preferred_element_type=jnp.float32)
 
@@ -143,14 +160,7 @@ def _qmm_kernel_stacked(
     h = k8 // n_groups
 
     qw = qw_ref.at[0][:]
-    gp = s_ref.shape[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 0) // h
-    cols = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 1)
-    expand = (rows == cols).astype(jnp.float32)
-    s_exp = jnp.dot(
-        expand, s_ref.at[0][:].astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+    s_exp = _expand_scales(s_ref.at[0][:], k8, h)
 
     acc = jnp.dot(
         sumx_ref[:].astype(cdtype), sz_ref.at[0][:].astype(cdtype),
@@ -158,7 +168,7 @@ def _qmm_kernel_stacked(
     )
     for p in range(8):
         plane = (qw >> (4 * p)) & 0xF
-        wp = (plane.astype(jnp.float32) * s_exp).astype(cdtype)
+        wp = _plane_weights(plane, s_exp, cdtype)
         xp = xpl_ref[:, p * k8 : (p + 1) * k8]
         acc += jnp.dot(xp, wp, preferred_element_type=jnp.float32)
 
@@ -293,18 +303,26 @@ def _qmm_kernel_stacked_fused(
     gp = s_ref.shape[1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 0) // h_height
     cols = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 1)
-    expand = (rows == cols).astype(jnp.float32)
-    s_exp = jnp.dot(expand, s_ref.at[0][:].astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
-    sz_exp = jnp.dot(expand, sz_ref.at[0][:].astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
+    expand = (rows == cols).astype(cdtype)
+    s_exp = _expand_scales(s_ref.at[0][:], k8, h_height)
 
+    # zero-points fold in via per-group activation sums (8 tiny [BM, k8] x
+    # [k8, Gp] dots reusing `expand`), NOT a second [k8, Gp] x [Gp, BN]
+    # expansion dot — that dot's f32 MXU cost rivals the matvec itself and
+    # measurably slowed the first fused kernel (81 vs 95 tok/s on-chip).
+    # Exactness on outlier rows is preserved: their codes are the zero
+    # points, and bf16(zp*s) cancels bf16(-zp*s) exactly in the f32 acc.
     qw = qw_ref.at[0][:]
     bm = x.shape[0]
-    acc = jnp.zeros((bm, bn), jnp.float32)
+    sumx = jnp.zeros((bm, gp), jnp.float32)
+    for p in range(8):
+        sumx += jnp.dot(h[:, p * k8 : (p + 1) * k8], expand,
+                        preferred_element_type=jnp.float32)
+    acc = jnp.dot(sumx.astype(cdtype), sz_ref.at[0][:].astype(cdtype),
+                  preferred_element_type=jnp.float32)
     for p in range(8):
         plane = (qw >> (4 * p)) & 0xF
-        wp = (plane.astype(jnp.float32) * s_exp + sz_exp).astype(cdtype)
+        wp = _plane_weights(plane, s_exp, cdtype)
         acc += jnp.dot(h[:, p * k8 : (p + 1) * k8], wp,
                        preferred_element_type=jnp.float32)
 
@@ -345,6 +363,12 @@ def qgemv_stacked_fused(
     n_groups = k // g
     bm = 8
     bn = _pick_bn(n, int(os.environ.get("QEFT_GEMV_BN", "512")))
+    if k8 * bn * 4 > 3_000_000:
+        # scoped-VMEM guard: the fused kernel carries the double-buffered
+        # int32 planes PLUS f32 dequant temps, the outlier slab blocks, and
+        # the residual tile — at down-proj scale (K=11008) a 512-wide tile
+        # exceeds the 16 MiB scoped budget by ~1.1 MB (measured on v5e)
+        bn = _pick_bn(n, 256)
     x2d = x.reshape(-1, k)
     m = x2d.shape[0]
     pad_m = -m % bm

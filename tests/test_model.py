@@ -190,6 +190,7 @@ def test_stacked_gemv_decode_matches_default(monkeypatch):
     ref_l, ref_w = run()
     monkeypatch.setenv("QEFT_STACKED_GEMV", "1")
     monkeypatch.setenv("QEFT_PALLAS", "1")  # interpret-mode kernels on CPU
+    monkeypatch.setenv("QEFT_FUSED_DECODE", "1")  # cover the fused stages too
     got_l, got_w = run()
     np.testing.assert_allclose(got_l, ref_l, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(got_w, ref_w, rtol=2e-4, atol=2e-4)
