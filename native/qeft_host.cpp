@@ -9,8 +9,9 @@
 // a NumPy fallback (no pybind11 dependency).
 //
 // Layout contract (must match qeft_tpu/ops/packing.py):
-//   codes [K, N] int32 (values 0..15), group size g (g % 8 == 0), h = g/8
-//   packed[gi*h + jj, n] = sum_p codes[gi*g + p*h + jj, n] << 4p
+//   codes [K, N] int32 (values 0..15), group size g (g % 8 == 0), h = g/8,
+//   G = K/g; word rows are GROUP-INTERLEAVED (row -> group row % G):
+//   packed[jj*G + gi, n] = sum_p codes[gi*g + p*h + jj, n] << 4p
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -21,9 +22,10 @@ namespace {
 void pack_rows(const int32_t* codes, int32_t* out, long k, long n, long g,
                long row_begin, long row_end) {
   const long h = g / 8;
+  const long n_groups = k / g;
   for (long j = row_begin; j < row_end; ++j) {
-    const long gi = j / h;
-    const long jj = j % h;
+    const long gi = j % n_groups;
+    const long jj = j / n_groups;
     int32_t* dst = out + j * n;
     std::memset(dst, 0, sizeof(int32_t) * n);
     for (long p = 0; p < 8; ++p) {
@@ -39,9 +41,10 @@ void pack_rows(const int32_t* codes, int32_t* out, long k, long n, long g,
 void unpack_rows(const int32_t* packed, int32_t* out, long k, long n, long g,
                  long row_begin, long row_end) {
   const long h = g / 8;
+  const long n_groups = k / g;
   for (long j = row_begin; j < row_end; ++j) {
-    const long gi = j / h;
-    const long jj = j % h;
+    const long gi = j % n_groups;
+    const long jj = j / n_groups;
     const int32_t* src = packed + j * n;
     for (long p = 0; p < 8; ++p) {
       int32_t* dst = out + (gi * g + p * h + jj) * n;

@@ -8,16 +8,22 @@ fallback both unpack through `unpack_codes`):
 - Eight codes pack into one **int32** along K with **plane striding**: within
   each quantization group of ``g`` K-rows (g % 8 == 0, plane height
   ``h = g/8``), packed word ``jj`` of group ``gi`` holds code
-  ``gi*g + p*h + jj`` in nibble ``p``:
+  ``gi*g + p*h + jj`` in nibble ``p``.  Word rows are **group-interleaved**:
 
-      packed[gi*(g/8) + jj, n] = sum_p code[gi*g + p*h + jj, n] << 4p
+      packed[jj*G + gi, n] = sum_p code[gi*g + p*h + jj, n] << 4p   (G = K/g)
+
+  so packed word row ``r`` belongs to group ``r % G``.
 
   Rationale: Mosaic TPU has no native sub-32-bit integer->float path (uint8
   loads relayout through uint32, killing VPU throughput), but int32 shifts /
   masks and int32->f32 converts are single native ops in 32-bit lanes.  Each
   nibble plane unpacks with one shift+mask+convert, and planes are contiguous
   K-slabs per group, so activations rearranged to plane-major order contract
-  against each plane in one big MXU dot — no element shuffles.
+  against each plane in one big MXU dot — no element shuffles.  The
+  group-INTERLEAVE (row -> group r % G, not r // h) exists so the in-kernel
+  [K/8, N]-scale expansion is one `pltpu.repeat` (tpu.repeat tiles whole
+  arrays) instead of a [K/8, G] x [G, BN] f32 MXU selection dot whose cost
+  rivals the decode matvec itself (on-chip A/B: 95.2 -> 99.9 tok/s).
 - ``scales``/``scaled_zeros`` are ``[G, N]`` with ``G = K // g`` and
   ``w = code * scale + scaled_zero`` (``scaled_zero = -zero*scale``, matching
   the reference convention, /root/reference/qeft/qlinear.py:192-208).
@@ -124,7 +130,8 @@ def pack_codes(codes: jax.Array, group_size: int) -> jax.Array:
     word = jnp.zeros((k // g, h, n), jnp.int32)
     for p in range(8):
         word = word | (c[:, p] << (4 * p))
-    return word.reshape(k // 8, n)
+    # group-interleave the word rows: row jj*G + gi (see module docstring)
+    return word.transpose(1, 0, 2).reshape(k // 8, n)
 
 
 def unpack_codes(packed: jax.Array, group_size: int) -> jax.Array:
@@ -133,7 +140,7 @@ def unpack_codes(packed: jax.Array, group_size: int) -> jax.Array:
     k = k8 * 8
     g = _resolve_group(k, group_size)
     h = g // 8
-    w = packed.reshape(k // g, h, n)
+    w = packed.reshape(h, k // g, n).transpose(1, 0, 2)  # [G, h, N]
     planes = [(w >> (4 * p)) & 0xF for p in range(8)]  # each [G, h, N]
     return jnp.stack(planes, axis=1).reshape(k, n)
 
@@ -142,14 +149,14 @@ def plane_order_activations(x2d: jax.Array, k: int, group_size: int) -> jax.Arra
     """[M, K] activations -> plane-major order [M, K] matching `pack_codes`.
 
     Row ``gi*g + p*h + jj`` of the weight pairs with output position
-    ``p*(K/8) + gi*h + jj`` so that plane ``p`` occupies the contiguous slice
-    ``[p*K/8, (p+1)*K/8)``.
+    ``p*(K/8) + jj*G + gi`` so that plane ``p`` occupies the contiguous slice
+    ``[p*K/8, (p+1)*K/8)`` in group-interleaved word order.
     """
     m = x2d.shape[0]
     g = _resolve_group(k, group_size)
     h = g // 8
-    xg = x2d.reshape(m, k // g, 8, h)
-    return xg.transpose(0, 2, 1, 3).reshape(m, k)
+    xg = x2d.reshape(m, k // g, 8, h)  # [M, G, plane, h]
+    return xg.transpose(0, 2, 3, 1).reshape(m, k)
 
 
 def pack_layer(
@@ -229,4 +236,4 @@ def pack_codes_np(codes: np.ndarray, group_size: int) -> np.ndarray:
     word = np.zeros((k // g, h, n), np.int64)
     for p in range(8):
         word |= c[:, p] << (4 * p)
-    return word.astype(np.int32).reshape(k // 8, n)
+    return word.astype(np.int32).transpose(1, 0, 2).reshape(k // 8, n)

@@ -47,19 +47,27 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _expand_scales(s_tile, k8: int, h_height: int):
-    """[Gp, BN] group scales -> [k8, BN] per-packed-row scales via a 0/1
-    f32 selection dot (row r selects group r // h_height).
+def _sexp_repeat() -> bool:
+    return os.environ.get("QEFT_SEXP_REPEAT", "1") not in ("0", "", "false")
 
-    Measured dead ends, for the record (on-chip A/B, 7B headline): a bf16
-    selection dot + bf16 plane multiply ran 84.6 vs 95.2 tok/s — bf16
-    arithmetic against int32-laned planes forces Mosaic relayouts per
-    plane.  A `pltpu.repeat`-based expansion (no MXU dot at all) measured
-    99.9 tok/s but tpu.repeat tiles whole arrays (row r -> group r %
-    n_groups), which is what motivates the group-interleaved word layout
-    (see packing.py)."""
+
+def _expand_scales(s_tile, k8: int, h_height: int):
+    """[Gp, BN] group scales -> [k8, BN] per-packed-row scales.  Packed word
+    row r belongs to group r % n_groups (the group-interleaved layout,
+    packing.py), so the expansion is ONE `pltpu.repeat` — a relayout, not
+    compute.  QEFT_SEXP_REPEAT=0 falls back to an equivalent 0/1 f32 MXU
+    selection dot, whose per-tile cost rivals the decode matvec itself
+    (on-chip A/B: 95.2 dot vs 99.9 repeat tok/s on the 7B headline).
+
+    Other measured dead ends, for the record: a bf16 selection dot + bf16
+    plane multiply ran 84.6 tok/s — bf16 arithmetic against int32-laned
+    planes forces Mosaic relayouts per plane."""
     gp = s_tile.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 0) // h_height
+    n_groups = k8 // h_height
+    if _sexp_repeat():
+        return pltpu.repeat(s_tile[:n_groups].astype(jnp.float32),
+                            h_height, 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 0) % n_groups
     cols = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 1)
     expand = (rows == cols).astype(jnp.float32)
     return jnp.dot(expand, s_tile.astype(jnp.float32),
@@ -301,7 +309,7 @@ def _qmm_kernel_stacked_fused(
         h = x
 
     gp = s_ref.shape[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 0) // h_height
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 0) % n_groups
     cols = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 1)
     expand = (rows == cols).astype(cdtype)
     s_exp = _expand_scales(s_ref.at[0][:], k8, h_height)
@@ -508,7 +516,8 @@ def qgemm(x: jax.Array, p: QLinearParams, dtype=jnp.bfloat16) -> jax.Array:
 # transposed GEMM for the training backward (grad_input = g @ W_deq^T)
 
 
-def _qmm_t_kernel(g_ref, qw_ref, s_ref, sz_ref, out_ref, acc_ref, *, h: int, bk8: int):
+def _qmm_t_kernel(g_ref, qw_ref, s_ref, sz_ref, out_ref, acc_ref, *, h: int,
+                  bk8: int, n_groups: int):
     """One (m-tile, k8-tile, n-tile) grid step of dx = g @ W_deq^T.
 
     g: [BM, BN] output-cotangent tile; qw: [BK8, BN] packed int32 tile;
@@ -528,8 +537,11 @@ def _qmm_t_kernel(g_ref, qw_ref, s_ref, sz_ref, out_ref, acc_ref, *, h: int, bk8
     qw = qw_ref[:]  # [BK8, BN] int32
     gp = s_ref.shape[0]
     # per-packed-row group select via a 0/1 expansion dot (all 2D, see
-    # _qmm_kernel): row r of this tile belongs to group (j*BK8 + r) // h
-    rows = (j * bk8 + jax.lax.broadcasted_iota(jnp.int32, (bk8, gp), 0)) // h
+    # _qmm_kernel): row r of this tile belongs to group (j*BK8 + r) %
+    # n_groups (group-interleaved word layout, packing.py)
+    rows = (
+        j * bk8 + jax.lax.broadcasted_iota(jnp.int32, (bk8, gp), 0)
+    ) % n_groups
     cols = jax.lax.broadcasted_iota(jnp.int32, (bk8, gp), 1)
     expand = (rows == cols).astype(jnp.float32)
     s_exp = jnp.dot(expand, s_ref[:].astype(jnp.float32),
@@ -569,10 +581,11 @@ def _plane_tile_inverse_ids(k: int, g: int, bk8: int) -> np.ndarray:
     """index array inv st dx[:, k] = dx_raw[:, inv[k]] undoes the kernel's
     (tile, plane, row) output ordering back to original K order."""
     h = g // 8
+    n_groups = k // g
     ks = np.arange(k)
     gi, rem = ks // g, ks % g
     p, jj = rem // h, rem % h
-    w = gi * h + jj  # packed-word row
+    w = jj * n_groups + gi  # packed-word row (group-interleaved layout)
     jtile, u = w // bk8, w % bk8
     return (jtile * (8 * bk8) + p * bk8 + u).astype(np.int32)
 
@@ -607,7 +620,7 @@ def qgemm_t(g: jax.Array, p: QLinearParams, dtype=jnp.bfloat16, bm: int = 128,
     scales = jnp.pad(p.scales, ((0, gp - n_groups), (0, 0)))
     szeros = jnp.pad(p.scaled_zeros, ((0, gp - n_groups), (0, 0)))
 
-    kernel = functools.partial(_qmm_t_kernel, h=h, bk8=bk8)
+    kernel = functools.partial(_qmm_t_kernel, h=h, bk8=bk8, n_groups=n_groups)
     flops = 2 * m * k * n
     bytes_accessed = k * n // 2 + 2 * m * n + 2 * m * k + 2 * gp * n * 2
     raw = pl.pallas_call(

@@ -56,6 +56,33 @@ def _interleave_perm(sizes, tp: int) -> np.ndarray:
     return np.concatenate(pieces)
 
 
+def _shard_major_words(qw: jax.Array, group_size: int, tp: int) -> jax.Array:
+    """Permute packed word rows from the GLOBAL group-interleave to
+    shard-major order for row-parallel K sharding.
+
+    pack_codes emits word row ``jj*G + gi`` (group-interleaved layout,
+    ops/packing.py) — a contiguous 1/tp slice of word rows spans ALL
+    quantization groups, so sharding them contiguously hands each shard an
+    invalid packing of a non-contiguous K range.  Reordering rows to
+    ``(t, jj, gi_local)`` with ``gi = t*G/tp + gi_local`` makes the t-th
+    contiguous slab exactly ``pack_codes`` of K rows
+    ``[t*K/tp, (t+1)*K/tp)`` in the LOCAL interleave (local word row
+    ``jj*(G/tp) + gi_local``), which is what the per-shard kernels and
+    `_row_parallel_apply`'s contiguous x-slices assume."""
+    *lead, k8, n = qw.shape
+    g = group_size if group_size > 0 else k8 * 8
+    h = g // 8
+    n_groups = k8 // h
+    if tp == 1 or n_groups == 1:
+        return qw
+    assert n_groups % tp == 0, (n_groups, tp)
+    w = qw.reshape(*lead, h, tp, n_groups // tp, n)
+    axes = tuple(range(len(lead)))
+    w = w.transpose(*axes, len(lead) + 1, len(lead), len(lead) + 2,
+                    len(lead) + 3)
+    return w.reshape(*lead, k8, n)
+
+
 def _permute_cols(lin: QLinearParams, perm: np.ndarray) -> QLinearParams:
     take = lambda a: None if a is None else jnp.take(jnp.asarray(a), jnp.asarray(perm), axis=-1)
     return dataclasses.replace(
@@ -88,7 +115,10 @@ def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig) -> Dict:
     def put_row(lin: QLinearParams):
         return dataclasses.replace(
             lin,
-            qweight=put(lin.qweight, P(None, "tp", None)),
+            qweight=put(
+                _shard_major_words(lin.qweight, lin.group_size, tp),
+                P(None, "tp", None),
+            ),
             # group params shard WITH the K rows (whole groups per shard, see
             # the assertion below), so the local kernel needs no slicing
             scales=put(lin.scales, P(None, "tp", None)),

@@ -126,43 +126,83 @@ def child():
     from qeft_tpu.parallel.mesh import cache_shardings
 
     def my_rows(a):
-        """This process's batch rows of a dp-sharded array (dedup tp replicas)."""
-        seen = {}
+        """This process's batch rows of a 2D (dp[, tp])-sharded array:
+        assemble addressable shards over BOTH dims (logits come out of the
+        GSPMD forward vocab-sharded too), dedup replicas."""
+        tiles = {}
         for s in a.addressable_shards:
-            seen.setdefault(s.index[0].start or 0, np.asarray(s.data))
-        return np.concatenate([seen[k] for k in sorted(seen)])
+            r0 = s.index[0].start or 0
+            c0 = (s.index[-1].start or 0) if a.ndim > 1 else 0
+            tiles.setdefault(r0, {}).setdefault(c0, np.asarray(s.data))
+        return np.concatenate(
+            [
+                np.concatenate([row[c] for c in sorted(row)], axis=-1)
+                if a.ndim > 1 else row[0]
+                for row in (tiles[r] for r in sorted(tiles))
+            ],
+            axis=0,
+        )
 
     n_global, ctx, steps = 4, 8, 3
     sl = process_slice(n_global)
     prompts = rng.integers(0, cfg.vocab_size, (n_global, ctx))
-    cache = init_kv_cache(cfg, n_global, 32)
+
+    # this leg checks CORRECTNESS of dp feeding + sharded cache/collectives,
+    # so it runs in f32: the random tiny model drives |activations| ~ 30
+    # where one bf16 ulp is 0.25, and its near-tied logits amplify
+    # reduction-order ulp noise ~15x per step (scripts/shard_logit_probe.py)
+    # — in f32 the sharding noise floor is ~1e-6 and exact argmax on
+    # decisive margins is a sound invariant
+    f32 = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a, t
+    )
+    packed = f32(packed)
+    cache = f32(init_kv_cache(cfg, n_global, 32))
     c_sh = cache_shardings(mesh, batch=n_global, n_kv_heads=cfg.num_kv_heads)
     cache = jax.tree.map(lambda a, s: jax.device_put(a, s), cache, c_sh)
     toks = host_local_batch(prompts[sl], mesh)
 
-    prefill = jax.jit(llama_prefill, static_argnames=("cfg",))
-    decode = jax.jit(llama_decode_step, static_argnames=("cfg",))
-    logits, cache = prefill(packed, toks, cache, cfg)
-    nxt = jnp.argmax(logits[:, -1, :], axis=-1)[:, None]
-    got = [my_rows(nxt).ravel()]
-    for i in range(steps):
-        lg, cache = decode(packed, nxt, cache, jnp.int32(ctx + i), cfg)
-        nxt = jnp.argmax(lg, axis=-1)[:, None]
-        got.append(my_rows(nxt).ravel())
-
-    # full-batch reference on this process alone (same seed -> same weights)
-    ref_params = build_packed_model(cfg, jax.random.PRNGKey(0), g=64, r=16)
-    ref_cache = init_kv_cache(cfg, n_global, 32)
+    # full-batch reference trajectory on this process alone (same seed ->
+    # same weights); the sharded path is then TEACHER-FORCED with the
+    # reference tokens so one near-tie argmax flip (sharding only changes
+    # partial-sum ORDER, never the math) can't cascade the comparison
+    ref_params = f32(build_packed_model(cfg, jax.random.PRNGKey(0), g=64, r=16))
+    ref_cache = f32(init_kv_cache(cfg, n_global, 32))
     rl, ref_cache = llama_prefill(ref_params, jnp.asarray(prompts), ref_cache, cfg)
+    ref_logits = [np.asarray(rl[:, -1, :], np.float32)]
     rn = jnp.argmax(rl[:, -1, :], axis=-1)[:, None]
-    assert np.array_equal(got[0], np.asarray(rn)[sl].ravel()), "prefill diverged"
+    ref_toks = [rn]
     for i in range(steps):
         rl, ref_cache = llama_decode_step(
             ref_params, rn, ref_cache, jnp.int32(ctx + i), cfg
         )
         rn = jnp.argmax(rl, axis=-1)[:, None]
-        assert np.array_equal(got[i + 1], np.asarray(rn)[sl].ravel()), (
-            f"decode step {i} diverged: {got[i + 1]} vs {np.asarray(rn)[sl].ravel()}"
+        ref_logits.append(np.asarray(rl, np.float32))
+        ref_toks.append(rn)
+
+    prefill = jax.jit(llama_prefill, static_argnames=("cfg",))
+    decode = jax.jit(llama_decode_step, static_argnames=("cfg",))
+    logits, cache = prefill(packed, toks, cache, cfg)
+    got_logits = [my_rows(logits[:, -1, :]).astype(np.float32)]
+    for i in range(steps):
+        forced = host_local_batch(np.asarray(ref_toks[i])[sl], mesh)
+        lg, cache = decode(packed, forced, cache, jnp.int32(ctx + i), cfg)
+        got_logits.append(my_rows(lg).astype(np.float32))
+
+    # f32 noise floor: reduction-order deltas ~1e-6, amplified at most a few
+    # orders by the ill-conditioned random model; a layout/dp-feeding bug
+    # produces O(1) garbage on every row
+    for i, (mine, ref) in enumerate(zip(got_logits, ref_logits)):
+        d = np.abs(mine - ref[sl])
+        assert d.max() < 1e-3, (
+            f"step {i} logits diverged: max={d.max():.3g} mean={d.mean():.3g}"
+        )
+        margin = np.ptp(np.sort(ref[sl], axis=-1)[:, -2:], axis=-1)
+        agree = mine.argmax(-1) == ref[sl].argmax(-1)
+        assert np.all(agree | (margin < 1e-2)), (
+            f"step {i}: decisive argmax flipped: {mine.argmax(-1)} vs "
+            f"{ref[sl].argmax(-1)} (margin {margin})"
         )
 
     print(
