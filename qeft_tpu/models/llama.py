@@ -182,12 +182,15 @@ def _flash_attn_enabled() -> bool:
 
 
 def _fused_decode_enabled() -> bool:
-    """Stage-fused decode blocks run norm + matvec + outlier GEMM + residual
-    as ONE pallas_call per stage (qlinear_fused_stage).  Default OFF: on-chip
-    A/B (real 7B ckpt, round 3) measured 90.7 tok/s fused vs 95.2 composed —
-    the per-tile prologue recompute costs more than the XLA glue it removes.
-    QEFT_FUSED_DECODE=1 enables for re-evaluation."""
-    return os.environ.get("QEFT_FUSED_DECODE", "0") not in ("0", "", "false")
+    """Stage-fused decode blocks run norm + packed matvec + outlier GEMM +
+    residual as ONE pallas_call per stage (qlinear_fused_stage).  Default ON
+    since the kernel computes its norm/group-sum prologue once into VMEM
+    scratch instead of per n-tile: on-chip A/B (real 7B ckpt, session 8)
+    106.66 tok/s fused vs 104.18 composed.  (The first fused kernel
+    recomputed the prologue per tile and LOST 90.7 vs 95.2 — see
+    _qmm_kernel_stacked_fused.)  QEFT_FUSED_DECODE=0 restores the composed
+    norm -> kernel -> outlier-GEMM -> add chain."""
+    return os.environ.get("QEFT_FUSED_DECODE", "1") not in ("0", "", "false")
 
 
 def _fused_stage_blk(blk: Dict) -> bool:

@@ -51,6 +51,42 @@ def _sexp_repeat() -> bool:
     return os.environ.get("QEFT_SEXP_REPEAT", "1") not in ("0", "", "false")
 
 
+def _f32w() -> bool:
+    """Keep dequantized plane weights in f32 for the MXU dot instead of
+    rounding them to bf16 first.  Saves the per-plane [K/8, BN] f32->bf16
+    convert (the VPU, not the MXU, limits the dequant chain: ablation probe
+    down 602.9 vs 589.7, qkv 585.5 vs 568.5 GB/s-int4) and is MORE exact.
+    QEFT_GEMV_F32W=0 restores the bf16 dot."""
+    return os.environ.get("QEFT_GEMV_F32W", "1") not in ("0", "", "false")
+
+
+def _plane_dot(xp, wp_f32, cdtype):
+    """acc contribution of one dequantized plane: f32 or bf16 MXU dot."""
+    if _f32w():
+        return jnp.dot(xp.astype(jnp.float32), wp_f32,
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(xp, wp_f32.astype(cdtype),
+                   preferred_element_type=jnp.float32)
+
+
+def _auto_bn(n: int, k8: int, bn_env: str = "QEFT_GEMV_BN") -> int:
+    """Decode-matvec N-tile width.
+
+    Explicit QEFT_GEMV_BN wins.  Otherwise pick the widest 128-multiple
+    divisor of N up to 1024 whose double-buffered int32 plane tile fits a
+    ~3 MB VMEM slice (k8*bn*4): the ablation probe measured a ~0.4 us
+    fixed cost PER GRID STEP, so fewer/wider tiles win when VMEM allows
+    (qkv [512 x 12288] 631 GB/s-int4 at bn=1024 vs 568 at 512; down-proj
+    [1376 x 4096] prefers 512 — 1024 overflows the budget and loses)."""
+    env = os.environ.get(bn_env, "")
+    if env:
+        return _pick_bn(n, int(env))
+    cap = 1024
+    while cap > 512 and k8 * cap * 4 > 3_000_000:
+        cap -= 128
+    return _pick_bn(n, cap)
+
+
 def _expand_scales(s_tile, k8: int, h_height: int):
     """[Gp, BN] group scales -> [k8, BN] per-packed-row scales.  Packed word
     row r belongs to group r % n_groups (the group-interleaved layout,
@@ -74,9 +110,9 @@ def _expand_scales(s_tile, k8: int, h_height: int):
                    preferred_element_type=jnp.float32)
 
 
-def _plane_weights(plane, s_exp, cdtype):
-    """Dequantize one nibble plane: codes times the expanded scales."""
-    return (plane.astype(jnp.float32) * s_exp).astype(cdtype)
+def _plane_weights(plane, s_exp):
+    """Dequantize one nibble plane (f32): codes times the expanded scales."""
+    return plane.astype(jnp.float32) * s_exp
 
 
 def _qmm_kernel(
@@ -103,9 +139,8 @@ def _qmm_kernel(
     )
     for p in range(8):
         plane = (qw >> (4 * p)) & 0xF  # int32
-        wp = _plane_weights(plane, s_exp, cdtype)
         xp = xpl_ref[:, p * k8 : (p + 1) * k8]
-        acc += jnp.dot(xp, wp, preferred_element_type=jnp.float32)
+        acc += _plane_dot(xp, _plane_weights(plane, s_exp), cdtype)
 
     out_ref[:] = acc.astype(out_ref.dtype)
 
@@ -176,9 +211,8 @@ def _qmm_kernel_stacked(
     )
     for p in range(8):
         plane = (qw >> (4 * p)) & 0xF
-        wp = _plane_weights(plane, s_exp, cdtype)
         xp = xpl_ref[:, p * k8 : (p + 1) * k8]
-        acc += jnp.dot(xp, wp, preferred_element_type=jnp.float32)
+        acc += _plane_dot(xp, _plane_weights(plane, s_exp), cdtype)
 
     out_ref[:] = acc.astype(out_ref.dtype)
 
@@ -199,7 +233,7 @@ def qgemv_stacked(
     g = p.group_size if p.group_size > 0 else k
     n_groups = k // g
     bm = 8
-    bn = _pick_bn(n, int(os.environ.get("QEFT_GEMV_BN", "512")))
+    bn = _auto_bn(n, k8)
     x2d = x.reshape(-1, k)
     m = x2d.shape[0]
     if m < bm:
@@ -266,6 +300,13 @@ def _qmm_kernel_stacked_fused(
     per-kernel entry overhead; folding them into the weight-streaming kernel
     removes ~20 XLA fusions per layer from the serialized decode chain.
 
+    The prologue (RMS norm + per-group activation sums) depends only on the
+    m-tile, so it runs ONCE on the first n-tile and parks its results in VMEM
+    scratch for the remaining grid steps (the n grid dim is "arbitrary" =
+    sequential).  The first fused kernel recomputed it per n-tile — 24-43
+    redundant norm+sum passes per call — and LOST its on-chip A/B to the
+    composed path (90.7 vs 95.2 tok/s) despite removing the XLA glue.
+
     Dequant differs from `_qmm_kernel_stacked` in folding the zero-points into
     the plane dequant (``w = code*scale + scaled_zero`` exactly as the fake
     path's `dequantize_weight`) instead of the separate group-sum dot — same
@@ -280,6 +321,10 @@ def _qmm_kernel_stacked_fused(
       ow [1, R, BN]  layer-selected outlier slab (has_ow)
       res [BM, BN]  residual tile to add (has_res)
       out [BM, BN]
+    Scratch:
+      h_ref [BM, K]  normed (or pass-through) activations, plane order
+      t_ref [BM, Rp] normed input tail (has_ow)
+      sumx_ref [BM, Gp] per-group activation sums (f32)
     """
     it = iter(args)
     xpl_ref = next(it)
@@ -292,54 +337,62 @@ def _qmm_kernel_stacked_fused(
     ow_ref = next(it) if has_ow else None
     res_ref = next(it) if has_res else None
     out_ref = next(it)
+    h_ref = next(it)
+    t_ref = next(it) if has_ow else None
+    sumx_ref = next(it)
 
     cdtype = xpl_ref.dtype
     k8, bn = qw_ref.shape[1], qw_ref.shape[2]
     h_height = k8 // n_groups
-
-    x = xpl_ref[:]
-    if norm:
-        xf = x.astype(jnp.float32)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        rstd = jax.lax.rsqrt(var + eps)
-        lnw = lnw_ref[:]
-        w_ln = (1.0 + lnw) if one_offset else lnw
-        h = (xf * rstd).astype(cdtype) * w_ln
-    else:
-        h = x
-
     gp = s_ref.shape[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 0) % n_groups
-    cols = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 1)
-    expand = (rows == cols).astype(cdtype)
-    s_exp = _expand_scales(s_ref.at[0][:], k8, h_height)
 
-    # zero-points fold in via per-group activation sums (8 tiny [BM, k8] x
-    # [k8, Gp] dots reusing `expand`), NOT a second [k8, Gp] x [Gp, BN]
-    # expansion dot — that dot's f32 MXU cost rivals the matvec itself and
-    # measurably slowed the first fused kernel (81 vs 95 tok/s on-chip).
-    # Exactness on outlier rows is preserved: their codes are the zero
-    # points, and bf16(zp*s) cancels bf16(-zp*s) exactly in the f32 acc.
+    @pl.when(pl.program_id(1) == 0)
+    def _prologue():
+        x = xpl_ref[:]
+        if norm:
+            xf = x.astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            rstd = jax.lax.rsqrt(var + eps)
+            lnw = lnw_ref[:]
+            w_ln = (1.0 + lnw) if one_offset else lnw
+            h = (xf * rstd).astype(cdtype) * w_ln
+        else:
+            h = x
+        h_ref[:] = h
+        if has_ow:
+            t = xtail_ref[:]
+            if norm:
+                tw = (1.0 + lnwt_ref[:]) if one_offset else lnwt_ref[:]
+                t = (t.astype(jnp.float32) * rstd).astype(cdtype) * tw
+            t_ref[:] = t
+        # zero-points fold in via per-group activation sums (8 tiny [BM, k8]
+        # x [k8, Gp] dots against a 0/1 expansion), NOT a second [k8, Gp] x
+        # [Gp, BN] expansion dot — that dot's f32 MXU cost rivals the matvec
+        # itself and measurably slowed the first fused kernel (81 vs 95
+        # tok/s on-chip).  Exactness on outlier rows is preserved: their
+        # codes are the zero points, and bf16(zp*s) cancels bf16(-zp*s)
+        # exactly in the f32 acc.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 0) % n_groups
+        cols = jax.lax.broadcasted_iota(jnp.int32, (k8, gp), 1)
+        expand = (rows == cols).astype(cdtype)
+        sumx = jnp.zeros((h.shape[0], gp), jnp.float32)
+        for p in range(8):
+            sumx += jnp.dot(h[:, p * k8 : (p + 1) * k8], expand,
+                            preferred_element_type=jnp.float32)
+        sumx_ref[:] = sumx
+
+    h = h_ref[:]
+    s_exp = _expand_scales(s_ref.at[0][:], k8, h_height)
     qw = qw_ref.at[0][:]
-    bm = x.shape[0]
-    sumx = jnp.zeros((bm, gp), jnp.float32)
-    for p in range(8):
-        sumx += jnp.dot(h[:, p * k8 : (p + 1) * k8], expand,
-                        preferred_element_type=jnp.float32)
-    acc = jnp.dot(sumx.astype(cdtype), sz_ref.at[0][:].astype(cdtype),
+    acc = jnp.dot(sumx_ref[:].astype(cdtype), sz_ref.at[0][:].astype(cdtype),
                   preferred_element_type=jnp.float32)
     for p in range(8):
         plane = (qw >> (4 * p)) & 0xF
-        wp = _plane_weights(plane, s_exp, cdtype)
-        acc += jnp.dot(h[:, p * k8 : (p + 1) * k8], wp,
-                       preferred_element_type=jnp.float32)
+        acc += _plane_dot(h[:, p * k8 : (p + 1) * k8],
+                          _plane_weights(plane, s_exp), cdtype)
 
     if has_ow:
-        t = xtail_ref[:]
-        if norm:
-            tw = (1.0 + lnwt_ref[:]) if one_offset else lnwt_ref[:]
-            t = (t.astype(jnp.float32) * rstd).astype(cdtype) * tw
-        acc += jnp.dot(t, ow_ref.at[0][:].astype(cdtype),
+        acc += jnp.dot(t_ref[:], ow_ref.at[0][:].astype(cdtype),
                        preferred_element_type=jnp.float32)
     if has_res:
         acc += res_ref[:].astype(jnp.float32)
@@ -370,7 +423,7 @@ def qgemv_stacked_fused(
     g = p.group_size if p.group_size > 0 else k
     n_groups = k // g
     bm = 8
-    bn = _pick_bn(n, int(os.environ.get("QEFT_GEMV_BN", "512")))
+    bn = _auto_bn(n, k8)
     if k8 * bn * 4 > 3_000_000:
         # scoped-VMEM guard: the fused kernel carries the double-buffered
         # int32 planes PLUS f32 dequant temps, the outlier slab blocks, and
@@ -446,18 +499,27 @@ def qgemv_stacked_fused(
         _qmm_kernel_stacked_fused, n_groups=n_groups, eps=eps,
         one_offset=one_offset, norm=norm, has_ow=has_ow, has_res=has_res,
     )
+    gp = scales.shape[1]
+    cdtype = x2d.dtype
+    scratch = [pltpu.VMEM((bm, k), cdtype)]  # h: normed plane-order input
+    if has_ow:
+        scratch.append(pltpu.VMEM((bm, rp), cdtype))  # normed tail
+    scratch.append(pltpu.VMEM((bm, gp), jnp.float32))  # per-group sums
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, l_ref: (i, j)),
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((grid[0] * bm, n), dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            # the n dim must iterate in order: tile 0 computes the norm +
+            # group-sum prologue into scratch, later tiles reuse it
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_interpret(),
     )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)[:m]
@@ -500,10 +562,9 @@ def _flatten_call(x: jax.Array, p: QLinearParams, bm: int, bn: int, dtype):
 def qgemv(x: jax.Array, p: QLinearParams, dtype=jnp.bfloat16) -> jax.Array:
     """Decode path: few tokens, weight-streaming bound.
 
-    QEFT_GEMV_BN overrides the N-tile width (default 512; the HBM->VMEM
-    burst per grid step is [K/8, BN] int32 — larger tiles mean fewer, bigger
-    bursts; scanned on-chip by scripts/tpu_kernel_bench.py)."""
-    bn = int(os.environ.get("QEFT_GEMV_BN", "512"))
+    N-tile width from `_auto_bn` (fewer/wider tiles when VMEM allows);
+    QEFT_GEMV_BN overrides."""
+    bn = _auto_bn(p.out_features, p.in_features // 8)
     return _flatten_call(x, p, bm=8, bn=bn, dtype=dtype)
 
 

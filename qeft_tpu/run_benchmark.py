@@ -65,8 +65,14 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() == "tpu":
+        # TPU only: Mosaic compiles are minutes-long and worth persisting.
+        # NOT on CPU — jax.config is process-global, and the test suite calls
+        # this main() (test_cli_flags), after which serializing later huge
+        # interpret-mode-pallas executables for the cache segfaulted jaxlib
+        # (observed repeatedly at test_tp_train's sharded-train compile).
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from qeft_tpu.generate import SampleConfig, generate
     from qeft_tpu.models.llama import LLAMA_PRESETS, init_kv_cache, init_params

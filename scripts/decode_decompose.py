@@ -129,18 +129,26 @@ proj_in = [(n, x) for n, x in proj_in if n in layers]
 def matvec_loop(layers, lm_head):
     # every iteration's inputs depend on the previous iteration's outputs:
     # XLA hoists loop-INVARIANT chains out of fori_loop entirely (session-4
-    # [B] measured the "floor" at one-pass cost divided by ITERS)
+    # [B] measured the "floor" at one-pass cost divided by ITERS).
+    # Kernels run through the SAME stacked StackedLinear views the decode
+    # scan uses (qgemv_stacked scalar-prefetch) — the old apply_linear-over-
+    # scan version timed the slower scan-slice path (stale per BASELINE.md).
+    from qeft_tpu.ops.packing import StackedLinear
+    from qeft_tpu.ops.qlinear import qlinear_apply_stacked
+
+    n_layers = jax.tree.leaves(layers["qkv"])[0].shape[0]
+
     def step(i, carry):
         acc, xd, xq, xf = carry
 
         def one(name, x):
-            def body(c, lin):
+            def body(li, c):
                 xc, a = c
-                y = apply_linear(lin, xc)
+                y = qlinear_apply_stacked(xc, StackedLinear(layers[name], li))
                 return (xc + y[0, :1].astype(xc.dtype) * 1e-12,
-                        a + y[0, 0].astype(jnp.float32)), None
+                        a + y[0, 0].astype(jnp.float32))
 
-            (xo, c), _ = jax.lax.scan(body, (x, jnp.float32(0)), layers[name])
+            _, c = jax.lax.fori_loop(0, n_layers, body, (x, jnp.float32(0)))
             return c
 
         ins = {"qkv": xd, "o": xq, "upgate": xd, "down": xf}
