@@ -262,6 +262,16 @@ def _act(gate: jax.Array, act: str) -> jax.Array:
     return jax.nn.silu(gate)
 
 
+def _split_upgate(ug: jax.Array, cfg: LlamaConfig):
+    """(up, gate) from a fused [up | gate] projection output.  Each half may
+    be N-padded to the decode tile multiple (pipeline.pad_upgate_halves packs
+    [up | 0pad | gate | 0pad] so bn=1024 applies to the 7B upgate); the pad
+    columns are exactly zero and dropped here by static slices."""
+    f_pad = ug.shape[-1] // 2
+    f = min(cfg.intermediate_size, f_pad)
+    return ug[..., :f], ug[..., f_pad : f_pad + f]
+
+
 def _embed(params, tokens, cfg) -> jax.Array:
     x = jnp.take(params["embed"], tokens, axis=0)
     if cfg.embed_scale:
@@ -427,8 +437,8 @@ def llama_block(
             x, blk["upgate"], lnw=blk["post_ln"], eps=cfg.rms_norm_eps,
             one_offset=cfg.rms_one_offset, dtype=dtype,
         )
-        f = ug.shape[-1] // 2
-        act = _act(ug[..., f:], cfg.act) * ug[..., :f]
+        up, gate = _split_upgate(ug, cfg)
+        act = _act(gate, cfg.act) * up
         h2 = None
         x = qlinear_fused_stage(act, blk["down"], residual=x, dtype=dtype)
     else:
@@ -438,8 +448,7 @@ def llama_block(
         h2 = rms_norm(x, blk["post_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
         if "upgate" in blk:
             ug = apply_linear(blk["upgate"], h2, dtype)
-            f = ug.shape[-1] // 2
-            up, gate = ug[..., :f], ug[..., f:]
+            up, gate = _split_upgate(ug, cfg)
         else:
             up = apply_linear(blk["up"], h2, dtype)
             gate = apply_linear(blk["gate"], h2, dtype)
@@ -721,8 +730,7 @@ def llama_forward_window_ragged(
         h2 = rms_norm(xc, blk["post_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
         if "upgate" in blk:
             ug = apply_linear(blk["upgate"], h2, dtype)
-            f = ug.shape[-1] // 2
-            up, gate = ug[..., :f], ug[..., f:]
+            up, gate = _split_upgate(ug, cfg)
         else:
             up = apply_linear(blk["up"], h2, dtype)
             gate = apply_linear(blk["gate"], h2, dtype)

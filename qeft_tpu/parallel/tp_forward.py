@@ -92,10 +92,16 @@ def _permute_cols(lin: QLinearParams, perm: np.ndarray) -> QLinearParams:
     )
 
 
-def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig) -> Dict:
-    """Host-side: lay out a stage-fused packed model for the shard_map path."""
+def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig,
+                           pp_axis: str = None) -> Dict:
+    """Host-side: lay out a stage-fused packed model for the shard_map path.
+
+    ``pp_axis``: also shard the stacked LAYER dimension of every per-layer
+    leaf over that mesh axis (the 2-D tp×pp composition, parallel/tp_pp.py);
+    None = layers replicated (pure TP)."""
     tp = mesh.shape["tp"]
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    L = pp_axis  # layer-axis placement of per-layer leaves
 
     def put(a, spec):
         if a is None:  # e.g. packed with n_outlier=0: no fp slab
@@ -105,11 +111,11 @@ def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig) -> Dict:
     def put_col(lin: QLinearParams):
         return dataclasses.replace(
             lin,
-            qweight=put(lin.qweight, P(None, None, "tp")),
-            scales=put(lin.scales, P(None, None, "tp")),
-            scaled_zeros=put(lin.scaled_zeros, P(None, None, "tp")),
-            oweight=put(lin.oweight, P(None, None, "tp")),
-            bias=put(lin.bias, P(None, "tp")),  # N-sharded with the output
+            qweight=put(lin.qweight, P(L, None, "tp")),
+            scales=put(lin.scales, P(L, None, "tp")),
+            scaled_zeros=put(lin.scaled_zeros, P(L, None, "tp")),
+            oweight=put(lin.oweight, P(L, None, "tp")),
+            bias=put(lin.bias, P(L, "tp")),  # N-sharded with the output
         )
 
     def put_row(lin: QLinearParams):
@@ -117,22 +123,31 @@ def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig) -> Dict:
             lin,
             qweight=put(
                 _shard_major_words(lin.qweight, lin.group_size, tp),
-                P(None, "tp", None),
+                P(L, "tp", None),
             ),
             # group params shard WITH the K rows (whole groups per shard, see
             # the assertion below), so the local kernel needs no slicing
-            scales=put(lin.scales, P(None, "tp", None)),
-            scaled_zeros=put(lin.scaled_zeros, P(None, "tp", None)),
-            oweight=put(lin.oweight, P(None, None, None)),
+            scales=put(lin.scales, P(L, "tp", None)),
+            scaled_zeros=put(lin.scaled_zeros, P(L, "tp", None)),
+            oweight=put(lin.oweight, P(L, None, None)),
             # replicated; _row_parallel_apply adds it on the last shard only
             # so the psum counts it exactly once
-            bias=put(lin.bias, P(None, None)),
+            bias=put(lin.bias, P(L, None)),
         )
 
-    rep = lambda a: put(a, P(*(None,) * a.ndim))
+    def rep(a, layer_leaf=False):
+        if layer_leaf and L is not None:
+            return put(a, P(L, *(None,) * (a.ndim - 1)))
+        return put(a, P(*(None,) * a.ndim))
 
     qkv_perm = _interleave_perm([hq * dh, hkv * dh, hkv * dh], tp)
     f = params["layers"]["upgate"].out_features // 2
+    assert f == cfg.intermediate_size, (
+        f"upgate halves are {f}-wide but intermediate_size is "
+        f"{cfg.intermediate_size}: TP sharding needs UNPADDED fused stages "
+        "(load with QEFT_PAD_UPGATE=0; the padding is a single-chip decode "
+        "tile optimization)"
+    )
     ug_perm = _interleave_perm([f, f], tp)
 
     new_layers = {}
@@ -151,7 +166,7 @@ def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig) -> Dict:
                 )
                 new_layers[name] = put_row(leaf)
         else:
-            new_layers[name] = rep(leaf)
+            new_layers[name] = rep(leaf, layer_leaf=True)
 
     return {
         "embed": rep(params["embed"]),
@@ -210,16 +225,18 @@ def _row_parallel_apply_stacked(sl, x_full, my, tp, dtype):
     return part
 
 
-def _tp_specs(params: Dict, cache: Dict):
+def _tp_specs(params: Dict, cache: Dict, pp_axis: str = None):
+    L = pp_axis  # layer-axis placement ("pp" in the 2-D composition)
+
     def lin_spec(leaf: QLinearParams, shard_n: bool) -> QLinearParams:
         # spec pytree must share the leaf's treedef (aux data included), so
         # None fields stay None and group_size matches
         if shard_n:
-            qw = sc = ow = P(None, None, "tp")
+            qw = sc = ow = P(L, None, "tp")
         else:
-            qw = sc = P(None, "tp", None)
-            ow = P(None, None, None)
-        bias_spec = P(None, "tp") if shard_n else P(None, None)
+            qw = sc = P(L, "tp", None)
+            ow = P(L, None, None)
+        bias_spec = P(L, "tp") if shard_n else P(L, None)
         return QLinearParams(
             qweight=qw, scales=sc, scaled_zeros=sc,
             oweight=ow if leaf.oweight is not None else None,
@@ -232,7 +249,7 @@ def _tp_specs(params: Dict, cache: Dict):
         if isinstance(leaf, QLinearParams):
             layer_specs[name] = lin_spec(leaf, name in ("qkv", "upgate"))
         else:
-            layer_specs[name] = P(*(None,) * leaf.ndim)
+            layer_specs[name] = P(L, *(None,) * (leaf.ndim - 1))
     param_specs = {
         "embed": P(None, None),
         "layers": layer_specs,
@@ -240,12 +257,125 @@ def _tp_specs(params: Dict, cache: Dict):
         "lm_head": P(None, "tp"),
     }
     # head-major cache [L, B, H_kv, S, Dh] (+ [L, B, H_kv, S] int8 scale
-    # planes): shard over kv heads
+    # planes): shard over kv heads (and layers over pp in the 2-D case)
     cache_specs = {
-        name: P(*(None, None, "tp", None, None)[: cache[name].ndim])
+        name: P(*(L, None, "tp", None, None)[: cache[name].ndim])
         for name in cache
     }
     return param_specs, cache_specs
+
+
+def _tp_block_step(blk: Dict, xc: jax.Array, c: Dict, cos, sin, mask, pos,
+                   cfg: LlamaConfig, tp: int, dtype):
+    """One decoder layer on the LOCAL tp shards at scalar window offset
+    ``pos`` (runs inside shard_map with a 'tp' axis; also the per-layer body
+    of the 2-D tp×pp stage, parallel/tp_pp.py).  ``c``: this layer's local
+    cache slice ([B, H_kv/tp, S, Dh] leaves).  Mirrors the single-chip
+    defaults: fused norm+matvec stages, int8-KV quantize/dequant, Pallas
+    decode attention where enabled.  Returns (x_out, token K/V slices)."""
+    from qeft_tpu.models.llama import (
+        _kv_dequantize,
+        _kv_quantize,
+        _pallas_attn_enabled,
+    )
+    from qeft_tpu.ops.qlinear import qlinear_fused_stage
+
+    my = jax.lax.axis_index("tp")
+    b, w = xc.shape[0], xc.shape[1]
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    hq_l, hkv_l = hq // tp, hkv // tp
+    max_len = c["k"].shape[2]
+
+    qkv = qlinear_fused_stage(
+        xc, blk["qkv"], lnw=blk["input_ln"], eps=cfg.rms_norm_eps,
+        one_offset=cfg.rms_one_offset, dtype=dtype,
+    )  # local [q_t|k_t|v_t]
+    q = qkv[..., : hq_l * dh].reshape(b, w, hq_l, dh)
+    k = qkv[..., hq_l * dh : (hq_l + hkv_l) * dh].reshape(b, w, hkv_l, dh)
+    v = qkv[..., (hq_l + hkv_l) * dh :].reshape(b, w, hkv_l, dh)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+
+    if "k_scale" in c:
+        kq, ksn = _kv_quantize(kh)
+        vq, vsn = _kv_quantize(vh)
+        kc = jax.lax.dynamic_update_slice(c["k"], kq, (0, 0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(c["v"], vq, (0, 0, pos, 0))
+        ksc = jax.lax.dynamic_update_slice(c["k_scale"], ksn, (0, 0, pos))
+        vsc = jax.lax.dynamic_update_slice(c["v_scale"], vsn, (0, 0, pos))
+        new_c = {"k": kq, "v": vq, "k_scale": ksn, "v_scale": vsn}
+        if w == 1 and _pallas_attn_enabled(max_len) and max_len % 128 == 0:
+            from qeft_tpu.ops.pallas_attention import decode_attention
+
+            ctx = decode_attention(
+                q[:, 0], kc, vc, pos, k_scale=ksc, v_scale=vsc
+            ).reshape(b, 1, hq_l * dh)
+        else:
+            ctx = _attention(
+                q, _kv_dequantize(kc, ksc, dtype),
+                _kv_dequantize(vc, vsc, dtype), mask, hq_l // hkv_l, dtype,
+            )
+    else:
+        kc = jax.lax.dynamic_update_slice(
+            c["k"], kh.astype(c["k"].dtype), (0, 0, pos, 0)
+        )
+        vc = jax.lax.dynamic_update_slice(
+            c["v"], vh.astype(c["v"].dtype), (0, 0, pos, 0)
+        )
+        new_c = {"k": kh.astype(c["k"].dtype), "v": vh.astype(c["v"].dtype)}
+        if w == 1 and _pallas_attn_enabled(max_len):
+            from qeft_tpu.ops.pallas_attention import decode_attention
+
+            ctx = decode_attention(q[:, 0], kc.astype(dtype),
+                                   vc.astype(dtype), pos)
+            ctx = ctx.reshape(b, 1, hq_l * dh)
+        else:
+            ctx = _attention(
+                q, kc.astype(dtype), vc.astype(dtype), mask,
+                hq_l // hkv_l, dtype,
+            )
+
+    # heads were interleaved shard-contiguously, so the tiled gather
+    # reassembles the FULL head-ordered context
+    ctx_full = jax.lax.all_gather(ctx, "tp", axis=2, tiled=True)
+    o_in = ctx_full
+    if "o_reorder" in blk:
+        o_in = jnp.take(ctx_full, blk["o_reorder"], axis=-1)
+    xc = xc + jax.lax.psum(
+        _row_parallel_apply_stacked(blk["o"], o_in, my, tp, dtype), "tp"
+    )
+
+    ug = qlinear_fused_stage(
+        xc, blk["upgate"], lnw=blk["post_ln"], eps=cfg.rms_norm_eps,
+        one_offset=cfg.rms_one_offset, dtype=dtype,
+    )  # local [up_t|gate_t]
+    f_l = ug.shape[-1] // 2
+    act = _act(ug[..., f_l:], cfg.act) * ug[..., :f_l]
+    # local act covers MLP-internal dims [t*f/tp, (t+1)*f/tp): exactly
+    # down's K-shard t — NO gather needed for the dense part; the
+    # outlier slab needs the tail, so gather once
+    act_full = jax.lax.all_gather(act, "tp", axis=2, tiled=True)
+    xc = xc + jax.lax.psum(
+        _row_parallel_apply_stacked(blk["down"], act_full, my, tp, dtype),
+        "tp",
+    )
+    return xc, new_c
+
+
+def tp_layer_views(layers: Dict):
+    """blk_of(l): per-layer views of stacked layer params — StackedLinear for
+    packed linears (layer selected inside the kernel), plain slices for small
+    array leaves (norms, o_reorder)."""
+    def blk_of(l):
+        return {
+            name: leaf.layer_view(l) if isinstance(leaf, QLinearParams)
+            else leaf[l]
+            for name, leaf in layers.items()
+        }
+
+    return blk_of
 
 
 def _tp_window_body(params: Dict, tokens: jax.Array, cache: Dict,
@@ -256,18 +386,9 @@ def _tp_window_body(params: Dict, tokens: jax.Array, cache: Dict,
     index; packed planes are layer-selected inside the kernels), fused
     norm+matvec stages, int8-KV quantize/dequant, token-granular cache
     write-back.  Returns (local logits [B, W, V/tp], new local cache)."""
-    from qeft_tpu.models.llama import (
-        _cache_token_write,
-        _kv_dequantize,
-        _kv_quantize,
-        _pallas_attn_enabled,
-    )
-    from qeft_tpu.ops.qlinear import qlinear_fused_stage
+    from qeft_tpu.models.llama import _cache_token_write
 
-    my = jax.lax.axis_index("tp")
     b, w = tokens.shape
-    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    hq_l, hkv_l = hq // tp, hkv // tp
     dtype = params["embed"].dtype
     layers = params["layers"]
     n_layers = jax.tree.leaves(layers)[0].shape[0]
@@ -280,92 +401,12 @@ def _tp_window_body(params: Dict, tokens: jax.Array, cache: Dict,
     query_pos = positions[:, None, :, None]
     mask = jnp.where(key_pos <= query_pos, 0.0, -jnp.inf).astype(jnp.float32)
 
-    def blk_of(l):
-        return {
-            name: leaf.layer_view(l) if isinstance(leaf, QLinearParams)
-            else leaf[l]
-            for name, leaf in layers.items()
-        }
+    blk_of = tp_layer_views(layers)
 
     def body(xc, inp):
         l, c = inp
-        blk = blk_of(l)
-        qkv = qlinear_fused_stage(
-            xc, blk["qkv"], lnw=blk["input_ln"], eps=cfg.rms_norm_eps,
-            one_offset=cfg.rms_one_offset, dtype=dtype,
-        )  # local [q_t|k_t|v_t]
-        q = qkv[..., : hq_l * dh].reshape(b, w, hq_l, dh)
-        k = qkv[..., hq_l * dh : (hq_l + hkv_l) * dh].reshape(b, w, hkv_l, dh)
-        v = qkv[..., (hq_l + hkv_l) * dh :].reshape(b, w, hkv_l, dh)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        kh = k.transpose(0, 2, 1, 3)
-        vh = v.transpose(0, 2, 1, 3)
-
-        if "k_scale" in c:
-            kq, ksn = _kv_quantize(kh)
-            vq, vsn = _kv_quantize(vh)
-            kc = jax.lax.dynamic_update_slice(c["k"], kq, (0, 0, pos, 0))
-            vc = jax.lax.dynamic_update_slice(c["v"], vq, (0, 0, pos, 0))
-            ksc = jax.lax.dynamic_update_slice(c["k_scale"], ksn, (0, 0, pos))
-            vsc = jax.lax.dynamic_update_slice(c["v_scale"], vsn, (0, 0, pos))
-            new_c = {"k": kq, "v": vq, "k_scale": ksn, "v_scale": vsn}
-            if w == 1 and _pallas_attn_enabled(max_len) and max_len % 128 == 0:
-                from qeft_tpu.ops.pallas_attention import decode_attention
-
-                ctx = decode_attention(
-                    q[:, 0], kc, vc, pos, k_scale=ksc, v_scale=vsc
-                ).reshape(b, 1, hq_l * dh)
-            else:
-                ctx = _attention(
-                    q, _kv_dequantize(kc, ksc, dtype),
-                    _kv_dequantize(vc, vsc, dtype), mask, hq_l // hkv_l, dtype,
-                )
-        else:
-            kc = jax.lax.dynamic_update_slice(
-                c["k"], kh.astype(c["k"].dtype), (0, 0, pos, 0)
-            )
-            vc = jax.lax.dynamic_update_slice(
-                c["v"], vh.astype(c["v"].dtype), (0, 0, pos, 0)
-            )
-            new_c = {"k": kh.astype(c["k"].dtype), "v": vh.astype(c["v"].dtype)}
-            if w == 1 and _pallas_attn_enabled(max_len):
-                from qeft_tpu.ops.pallas_attention import decode_attention
-
-                ctx = decode_attention(q[:, 0], kc.astype(dtype),
-                                       vc.astype(dtype), pos)
-                ctx = ctx.reshape(b, 1, hq_l * dh)
-            else:
-                ctx = _attention(
-                    q, kc.astype(dtype), vc.astype(dtype), mask,
-                    hq_l // hkv_l, dtype,
-                )
-
-        # heads were interleaved shard-contiguously, so the tiled gather
-        # reassembles the FULL head-ordered context
-        ctx_full = jax.lax.all_gather(ctx, "tp", axis=2, tiled=True)
-        o_in = ctx_full
-        if "o_reorder" in blk:
-            o_in = jnp.take(ctx_full, blk["o_reorder"], axis=-1)
-        xc = xc + jax.lax.psum(
-            _row_parallel_apply_stacked(blk["o"], o_in, my, tp, dtype), "tp"
-        )
-
-        ug = qlinear_fused_stage(
-            xc, blk["upgate"], lnw=blk["post_ln"], eps=cfg.rms_norm_eps,
-            one_offset=cfg.rms_one_offset, dtype=dtype,
-        )  # local [up_t|gate_t]
-        f_l = ug.shape[-1] // 2
-        act = _act(ug[..., f_l:], cfg.act) * ug[..., :f_l]
-        # local act covers MLP-internal dims [t*f/tp, (t+1)*f/tp): exactly
-        # down's K-shard t — NO gather needed for the dense part; the
-        # outlier slab needs the tail, so gather once
-        act_full = jax.lax.all_gather(act, "tp", axis=2, tiled=True)
-        xc = xc + jax.lax.psum(
-            _row_parallel_apply_stacked(blk["down"], act_full, my, tp, dtype),
-            "tp",
-        )
-        return xc, new_c
+        return _tp_block_step(blk_of(l), xc, c, cos, sin, mask, pos, cfg, tp,
+                              dtype)
 
     x, tok = jax.lax.scan(body, x, (jnp.arange(n_layers), cache))
     new_cache = _cache_token_write(cache, tok, pos)
@@ -401,6 +442,217 @@ def tp_forward_window(
         return _tp_window_body(params, tokens, cache, pos, cfg, tp)
 
     return fwd(params, tokens, cache, pos)
+
+
+def _tp_window_body_ragged(params: Dict, tokens: jax.Array, cache: Dict,
+                           pos: jax.Array, cfg: LlamaConfig, tp: int):
+    """Ragged twin of `_tp_window_body`: per-sequence window offsets.
+
+    tokens: [B, W]; pos: [B] int32 — sequence b's window lands at absolute
+    positions [pos[b], pos[b]+W) of ITS cache rows and query i attends keys
+    <= pos[b]+i.  This is the continuous-batching decode primitive the
+    serving engine needs on a TP mesh (VERDICT r3 #4: Engine over a mesh);
+    the reference has no analogue (single-sequence generation,
+    monkeypatch/ftllama_generate.py).  Runs inside shard_map over 'tp';
+    returns (local logits [B, W, V/tp], new local cache)."""
+    from qeft_tpu.models.llama import (
+        _cache_token_write_ragged,
+        _flash_attn_enabled,
+        _kv_dequantize,
+        _kv_quantize,
+    )
+    from qeft_tpu.ops.qlinear import qlinear_fused_stage
+
+    my = jax.lax.axis_index("tp")
+    b, w = tokens.shape
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    hq_l, hkv_l = hq // tp, hkv // tp
+    dtype = params["embed"].dtype
+    layers = params["layers"]
+    n_layers = jax.tree.leaves(layers)[0].shape[0]
+
+    x = _embed(params, tokens, cfg)
+    positions = pos[:, None] + jnp.arange(w)[None, :]  # [B, W]
+    cos, sin = rope_tables(cfg, positions)
+    max_len = cache["k"].shape[3]
+    key_pos = jnp.arange(max_len)[None, None, None, :]
+    query_pos = positions[:, None, :, None]
+    mask = jnp.where(key_pos <= query_pos, 0.0, -jnp.inf).astype(jnp.float32)
+
+    def write_at(cache_l, new):
+        # per-sequence scatter: vmap a W-slot dynamic update over the batch
+        def one(c, n, p):
+            return jax.lax.dynamic_update_slice(c, n, (0, p, 0)[: c.ndim])
+
+        return jax.vmap(one)(cache_l, new.astype(cache_l.dtype), pos)
+
+    def blk_of(l):
+        return {
+            name: leaf.layer_view(l) if isinstance(leaf, QLinearParams)
+            else leaf[l]
+            for name, leaf in layers.items()
+        }
+
+    def body(xc, inp):
+        l, c = inp
+        blk = blk_of(l)
+        qkv = qlinear_fused_stage(
+            xc, blk["qkv"], lnw=blk["input_ln"], eps=cfg.rms_norm_eps,
+            one_offset=cfg.rms_one_offset, dtype=dtype,
+        )  # local [q_t|k_t|v_t]
+        q = qkv[..., : hq_l * dh].reshape(b, w, hq_l, dh)
+        k = qkv[..., hq_l * dh : (hq_l + hkv_l) * dh].reshape(b, w, hkv_l, dh)
+        v = qkv[..., (hq_l + hkv_l) * dh :].reshape(b, w, hkv_l, dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kh = k.transpose(0, 2, 1, 3)
+        vh = v.transpose(0, 2, 1, 3)
+
+        if "k_scale" in c:
+            kq, ksn = _kv_quantize(kh)
+            vq, vsn = _kv_quantize(vh)
+            kc, vc = write_at(c["k"], kq), write_at(c["v"], vq)
+            ksc = write_at(c["k_scale"], ksn)
+            vsc = write_at(c["v_scale"], vsn)
+            k_read = _kv_dequantize(kc, ksc, dtype)
+            v_read = _kv_dequantize(vc, vsc, dtype)
+            new_c = {"k": kq, "v": vq, "k_scale": ksn, "v_scale": vsn}
+        else:
+            kc, vc = write_at(c["k"], kh), write_at(c["v"], vh)
+            k_read, v_read = kc.astype(dtype), vc.astype(dtype)
+            new_c = {"k": kh.astype(c["k"].dtype), "v": vh.astype(c["v"].dtype)}
+
+        if _flash_attn_enabled():
+            # width-invariant flash windows keep W=1 decode and W=gamma+1
+            # spec-verify logits bit-identical (same property the single-chip
+            # ragged forward relies on)
+            from qeft_tpu.ops.pallas_flash import flash_window_attention
+
+            ctx = flash_window_attention(q, k_read, v_read, pos)
+        else:
+            ctx = _attention(q, k_read, v_read, mask, hq_l // hkv_l, dtype)
+
+        ctx_full = jax.lax.all_gather(ctx, "tp", axis=2, tiled=True)
+        o_in = ctx_full
+        if "o_reorder" in blk:
+            o_in = jnp.take(ctx_full, blk["o_reorder"], axis=-1)
+        xc = xc + jax.lax.psum(
+            _row_parallel_apply_stacked(blk["o"], o_in, my, tp, dtype), "tp"
+        )
+
+        ug = qlinear_fused_stage(
+            xc, blk["upgate"], lnw=blk["post_ln"], eps=cfg.rms_norm_eps,
+            one_offset=cfg.rms_one_offset, dtype=dtype,
+        )
+        f_l = ug.shape[-1] // 2
+        act = _act(ug[..., f_l:], cfg.act) * ug[..., :f_l]
+        act_full = jax.lax.all_gather(act, "tp", axis=2, tiled=True)
+        xc = xc + jax.lax.psum(
+            _row_parallel_apply_stacked(blk["down"], act_full, my, tp, dtype),
+            "tp",
+        )
+        return xc, new_c
+
+    x, tok = jax.lax.scan(body, x, (jnp.arange(n_layers), cache))
+    new_cache = _cache_token_write_ragged(cache, tok, pos)
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
+    logits_local = apply_linear(params["lm_head"], x, x.dtype)
+    return logits_local, new_cache
+
+
+def tp_forward_window_ragged(
+    params: Dict,
+    tokens: jax.Array,  # [B, W]
+    cache: Dict,
+    pos: jax.Array,  # [B] int32 per-sequence offsets
+    cfg: LlamaConfig,
+    mesh: Mesh,
+):
+    """Ragged W-token window under shard_map over 'tp'.  Returns global
+    logits [B, W, V] and the sharded cache."""
+    tp = mesh.shape["tp"]
+    param_specs, cache_specs = _tp_specs(params, cache)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(param_specs, P(None, None), cache_specs, P(None)),
+        out_specs=(P(None, None, "tp"), cache_specs),
+        check_vma=False,
+    )
+    def fwd(params, tokens, cache, pos):
+        return _tp_window_body_ragged(params, tokens, cache, pos, cfg, tp)
+
+    return fwd(params, tokens, cache, pos)
+
+
+def tp_decode_step_ragged(
+    params: Dict,
+    tokens: jax.Array,  # [B, 1]
+    cache: Dict,
+    pos: jax.Array,  # [B]
+    cfg: LlamaConfig,
+    mesh: Mesh,
+):
+    """Continuous-batching decode tick on a TP mesh: each sequence writes its
+    KV at its own position and attends its own prefix, every weight shard
+    stays put.  Returns (logits [B, V], new cache)."""
+    logits, new_cache = tp_forward_window_ragged(
+        params, tokens, cache, pos, cfg, mesh
+    )
+    return logits[:, 0, :], new_cache
+
+
+def tp_decode_burst(
+    params: Dict,
+    tokens: jax.Array,  # [B, 1]
+    cache: Dict,
+    pos: jax.Array,  # [B]
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    n: int,
+    sc,
+    key: jax.Array,
+):
+    """``n`` ragged decode ticks in ONE shard_map program (the TP twin of
+    serving._decode_burst): per tick, each shard computes its [B, V/tp]
+    logits slice, one all_gather assembles the full logits, and every shard
+    samples the SAME next token from the replicated key.  One host dispatch
+    per burst instead of per token.  Returns (tokens [B, n], new cache)."""
+    from qeft_tpu.generate import _sample_token
+
+    tp = mesh.shape["tp"]
+    b = tokens.shape[0]
+    param_specs, cache_specs = _tp_specs(params, cache)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(param_specs, P(None, None), cache_specs, P(None), P(None)),
+        out_specs=(P(None, None), cache_specs),
+        check_vma=False,
+    )
+    def burst(params, tokens, cache, pos, key):
+        out = jnp.zeros((b, n), jnp.int32)
+
+        def tick(i, carry):
+            tokens, cache, pos, out, key = carry
+            key, sub = jax.random.split(key)
+            logits_local, cache = _tp_window_body_ragged(
+                params, tokens, cache, pos, cfg, tp
+            )
+            logits = jax.lax.all_gather(
+                logits_local[:, 0, :], "tp", axis=1, tiled=True
+            )
+            nxt = _sample_token(logits, sub, sc)  # [B]; replicated
+            return nxt[:, None], cache, pos + 1, out.at[:, i].set(nxt), key
+
+        _, cache, _, out, _ = jax.lax.fori_loop(
+            0, n, tick, (tokens, cache, pos, out, key)
+        )
+        return out, cache
+
+    return burst(params, tokens, cache, pos, key)
 
 
 def tp_decode_step(

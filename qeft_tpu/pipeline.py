@@ -880,6 +880,44 @@ def _fuse_stage(nb: Dict, names, fused_name: str):
     )
 
 
+def _pad_upgate_enabled() -> bool:
+    """QEFT_PAD_UPGATE=1 pads each half of the fused upgate to a 1024-column
+    multiple so the decode matvec's `_auto_bn` can pick bn=1024 (7B upgate is
+    N=2x11008; 22016 has no 1024 divisor, so it runs bn=512 at 568 GB/s-int4
+    where the qkv stage reaches 631 at bn=1024 — gemv ablation probe,
+    BASELINE.md round 3).  Off until the on-chip A/B lands."""
+    import os
+
+    return os.environ.get("QEFT_PAD_UPGATE", "0") not in ("0", "", "false")
+
+
+def pad_upgate_halves(lin, multiple: int = 1024):
+    """Pad EACH half of a fused [up | gate] packed linear along N up to
+    ``multiple`` — layout becomes [up | 0pad | gate | 0pad], so the model's
+    half-split stays a static slice (models/llama._split_upgate drops the
+    pad).  Zero-padding is exact: pad codes 0 x pad scales 0 + pad
+    scaled_zeros 0 -> pad output columns are exactly 0 and are never read."""
+    f = lin.out_features // 2
+    f_pad = -(-f // multiple) * multiple
+    if f_pad == f:
+        return lin
+
+    def padh(a):
+        if a is None:
+            return None
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, f_pad - f)]
+        return jnp.concatenate(
+            [jnp.pad(a[..., :f], widths), jnp.pad(a[..., f:], widths)],
+            axis=-1,
+        )
+
+    return dataclasses.replace(
+        lin, qweight=padh(lin.qweight), scales=padh(lin.scales),
+        scaled_zeros=padh(lin.scaled_zeros), oweight=padh(lin.oweight),
+        bias=padh(lin.bias),
+    )
+
+
 def fuse_packed_stages(params: Dict, meta: ModelMeta) -> Dict:
     """Post-pack stage fusion on a loaded (stacked) packed model: q/k/v ->
     'qkv', up/gate -> 'upgate'.  Same math as pack_model(fuse_stages=True);
@@ -891,6 +929,8 @@ def fuse_packed_stages(params: Dict, meta: ModelMeta) -> Dict:
         _fuse_stage(layers, meta.qkv, "qkv")
     if len(meta.ffn1) == 2 and all(n in layers for n in meta.ffn1):
         _fuse_stage(layers, meta.ffn1, "upgate")
+        if _pad_upgate_enabled():
+            layers["upgate"] = pad_upgate_halves(layers["upgate"])
     return {**params, "layers": layers}
 
 

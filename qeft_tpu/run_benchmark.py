@@ -56,8 +56,15 @@ def main(argv=None):
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--fuse_stages", action="store_true", default=True)
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel ways: weights shard over a 'tp' "
+                             "mesh axis and every device program becomes the "
+                             "explicit shard_map path (methods qeft/engine)")
     parser.add_argument("--logfile", type=str, default="")
     args = parser.parse_args(argv)
+
+    if args.tp > 1 and args.method not in ("qeft", "engine"):
+        parser.error("--tp applies to --method qeft or engine")
 
     if args.method == "qeft-x":
         os.environ["QEFT_PALLAS"] = "0"
@@ -99,7 +106,19 @@ def main(argv=None):
         params = init_params(cfg, key, dtype=jnp.bfloat16)
     else:
         params = build_packed_model(cfg, key, fuse_stages=args.fuse_stages)
-    params = jax.device_put(params)
+    mesh = None
+    if args.tp > 1:
+        from qeft_tpu.parallel import make_mesh
+        from qeft_tpu.parallel.tp_forward import tp_shard_packed_params
+
+        assert len(jax.devices()) >= args.tp, (
+            f"--tp {args.tp} needs {args.tp} devices, have {jax.devices()}"
+        )
+        mesh = make_mesh((1, args.tp), axis_names=("dp", "tp"),
+                         devices=jax.devices()[: args.tp])
+        params = tp_shard_packed_params(params, mesh, cfg)
+    else:
+        params = jax.device_put(params)
 
     if args.method == "engine":
         # continuous-batching serving throughput: `requests` prompts of
@@ -118,7 +137,7 @@ def main(argv=None):
         def serve():
             eng = Engine(params, cfg, max_batch=args.batch, max_len=max_len,
                          sample_config=SampleConfig(greedy=not args.sample),
-                         burst=args.burst)
+                         burst=args.burst, mesh=mesh)
             for i, p in enumerate(prompts):
                 eng.submit(Request(request_id=i, prompt=p,
                                    max_new_tokens=args.gen))
@@ -137,6 +156,8 @@ def main(argv=None):
             "context": args.context, "gen": args.gen,
             "served_tokens_per_s": round(total_tokens / best, 2),
         }
+        if args.tp > 1:
+            result["tp"] = args.tp
         print(json.dumps(result))
         if args.logfile:
             with open(args.logfile, "a") as f:
@@ -193,6 +214,23 @@ def main(argv=None):
                 )
             np.asarray(out)
             return telem
+    elif mesh is not None:
+        # TP-sharded greedy generate: one shard_map prefill program + the
+        # whole decode loop in one program (parallel/tp_forward.py)
+        from qeft_tpu.parallel.tp_forward import _tp_specs, tp_generate
+        from jax.sharding import NamedSharding
+
+        assert not args.sample, "--tp qeft benchmark is greedy-only"
+        _, cache_specs = _tp_specs(params, cache)
+        cache = {
+            name: jax.device_put(leaf, NamedSharding(mesh, cache_specs[name]))
+            for name, leaf in cache.items()
+        }
+
+        def run():
+            out, _ = tp_generate(params, prompt, cache, cfg, mesh, args.gen)
+            np.asarray(out)
+            return None
     else:
         def run():
             out, _ = generate(params, prompt, cache, cfg, args.gen, sc, api=api)
@@ -214,6 +252,8 @@ def main(argv=None):
         "context": args.context,
         "gen": args.gen,
     }
+    if args.tp > 1:
+        result["tp"] = args.tp
     if args.method == "spec-batch":
         result["batch"] = bsz
         result["seq_tokens_per_s"] = round(bsz * args.gen / best, 2)

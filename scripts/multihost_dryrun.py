@@ -205,10 +205,44 @@ def child():
             f"{ref[sl].argmax(-1)} (margin {margin})"
         )
 
+    # --- per-host continuous-batching SERVING (the pod serving topology):
+    # requests scale out across hosts at the load-balancer level (no
+    # cross-host collective in the decode path), each host's Engine rides a
+    # TP mesh over its OWN ICI-local devices (serving.Engine mesh path);
+    # cross-host totals aggregate over DCN only at reporting time
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh
+    from qeft_tpu.parallel.tp_forward import tp_shard_packed_params
+    from qeft_tpu.serving import Engine, Request
+
+    local_mesh = Mesh(
+        np.array(jax.local_devices()).reshape(1, len(jax.local_devices())),
+        ("dp", "tp"),
+    )
+    fused = build_packed_model(cfg, jax.random.PRNGKey(7), g=64, r=16,
+                               fuse_stages=True)
+    eng = Engine(
+        tp_shard_packed_params(fused, local_mesh, cfg), cfg, max_batch=2,
+        max_len=32, mesh=local_mesh, burst=2,
+    )
+    n_req, n_new = 3, 4
+    for i in range(n_req):  # per-host distinct requests
+        eng.submit(Request(
+            request_id=jax.process_index() * 100 + i,
+            prompt=rng.integers(0, cfg.vocab_size, size=4 + jax.process_index()),
+            max_new_tokens=n_new,
+        ))
+    done = eng.run(max_ticks=32)
+    served = sum(len(r.output) for r in done)
+    assert served == n_req * n_new, (served, n_req * n_new)
+    totals = multihost_utils.process_allgather(np.asarray([served], np.int32))
+    assert int(totals.sum()) == jax.process_count() * n_req * n_new, totals
+
     print(
         f"process {jax.process_index()}: devices={len(jax.devices())} "
         f"mesh=(dp=2,tp=4) losses={[round(l, 4) for l in losses]} "
-        f"dp-sharded decode == reference OK"
+        f"dp-sharded decode == reference OK; per-host tp engine served "
+        f"{served} tokens (cluster total {int(totals.sum())})"
     )
 
 
