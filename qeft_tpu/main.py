@@ -61,6 +61,13 @@ def main():
         params, cfg, family = load_ckpt(args.load)
         meta = get_model_meta(family)
         quantizers = None
+        if any(hasattr(l, "qweight") for l in params["layers"].values()):
+            # packed checkpoint: serve through the fused fast path exactly
+            # like bench.py's production load (same math; fewer, larger
+            # kernel calls — the unfused reload benchmark ran ~6% slower)
+            from qeft_tpu.pipeline import fuse_packed_stages
+
+            params = fuse_packed_stages(params, meta)
         import os as _os
 
         if _os.environ.get("QEFT_QUANT_LMHEAD", "0") not in ("0", "", "false") \

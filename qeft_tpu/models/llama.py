@@ -758,6 +758,113 @@ def llama_decode_step_ragged(
     return logits[:, 0, :], new_cache
 
 
+def _stacked_attn_enabled() -> bool:
+    """Stacked-cache decode attention (ops/pallas_attention.py::
+    decode_attention_stacked): the layer scan closes over the WHOLE stacked
+    KV cache and the kernel DMAs each layer's slab directly (scalar-prefetch
+    layer select) with the new token folded in as an extra flash term — no
+    per-layer slab slice, no dynamic_update_slice copy before attention (the
+    two copies cost ~0.5 GB/token at a 512-slot 7B cache).
+    QEFT_ATTN_STACKED=1/0 forces; default OFF until the on-chip A/B lands
+    (chip session r4)."""
+    v = os.environ.get("QEFT_ATTN_STACKED")
+    if v is not None:
+        return v not in ("0", "false", "off")
+    return False
+
+
+def _decode_step_stacked_attn(
+    params: Dict, token: jax.Array, cache: Dict, pos: jax.Array,
+    cfg: LlamaConfig
+):
+    """Decode step where the layer scan carries NO cache operands: packed
+    weights ride scalar-prefetch kernels (stacked gemv / fused stages) and
+    attention reads the stacked cache in place (decode_attention_stacked).
+    The only cache write is the one token-granular update after the scan."""
+    from qeft_tpu.ops.pallas_attention import decode_attention_stacked
+
+    b = token.shape[0]
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    x = _embed(params, token, cfg)  # [B, 1, D]
+    dtype = x.dtype
+    cos, sin = rope_tables(cfg, pos[None, None])
+    layers = params["layers"]
+    n_layers = jax.tree.leaves(layers)[0].shape[0]
+    quantized = cache_quantized(cache)
+    fused = _fused_decode_enabled()
+    scales = (
+        (cache["k_scale"], cache["v_scale"]) if quantized else (None, None)
+    )
+
+    def blk_of(l):
+        return {
+            name: leaf.layer_view(l) if isinstance(leaf, QLinearParams)
+            else leaf[l]
+            for name, leaf in layers.items()
+        }
+
+    def body(xc, l):
+        blk = blk_of(l)
+        if fused:
+            qkv = qlinear_fused_stage(
+                xc, blk["qkv"], lnw=blk["input_ln"], eps=cfg.rms_norm_eps,
+                one_offset=cfg.rms_one_offset, dtype=dtype,
+            )
+        else:
+            h = rms_norm(xc, blk["input_ln"], cfg.rms_norm_eps,
+                         cfg.rms_one_offset)
+            qkv = apply_linear(blk["qkv"], h, dtype)
+        q = qkv[..., : hq * dh].reshape(b, 1, hq, dh)
+        k = qkv[..., hq * dh : (hq + hkv) * dh].reshape(b, 1, hkv, dh)
+        v = qkv[..., (hq + hkv) * dh :].reshape(b, 1, hkv, dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kh = k.transpose(0, 2, 1, 3)  # [B, H_kv, 1, Dh]
+        vh = v.transpose(0, 2, 1, 3)
+
+        ctx = decode_attention_stacked(
+            q[:, 0], cache["k"], cache["v"], l, pos, kh[:, :, 0], vh[:, :, 0],
+            k_scale=scales[0], v_scale=scales[1],
+        ).reshape(b, 1, hq * dh)
+        if quantized:
+            kq, ksn = _kv_quantize(kh)
+            vq, vsn = _kv_quantize(vh)
+            new_c = {"k": kq, "v": vq, "k_scale": ksn, "v_scale": vsn}
+        else:
+            new_c = {"k": kh.astype(cache["k"].dtype),
+                     "v": vh.astype(cache["v"].dtype)}
+
+        o_in = ctx
+        if "o_reorder" in blk:
+            o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
+        if fused:
+            xc = qlinear_fused_stage(o_in, blk["o"], residual=xc, dtype=dtype)
+            ug = qlinear_fused_stage(
+                xc, blk["upgate"], lnw=blk["post_ln"], eps=cfg.rms_norm_eps,
+                one_offset=cfg.rms_one_offset, dtype=dtype,
+            )
+            up, gate = _split_upgate(ug, cfg)
+            xc = qlinear_fused_stage(
+                _act(gate, cfg.act) * up, blk["down"], residual=xc,
+                dtype=dtype,
+            )
+        else:
+            xc = xc + apply_linear(blk["o"], o_in, dtype)
+            h2 = rms_norm(xc, blk["post_ln"], cfg.rms_norm_eps,
+                          cfg.rms_one_offset)
+            ug = apply_linear(blk["upgate"], h2, dtype)
+            up, gate = _split_upgate(ug, cfg)
+            xc = xc + apply_linear(blk["down"], _act(gate, cfg.act) * up,
+                                   dtype)
+        return xc, new_c
+
+    x, tok = jax.lax.scan(body, x, jnp.arange(n_layers))
+    new_cache = _cache_token_write(cache, tok, pos)
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
+    logits = apply_linear(params["lm_head"], x, x.dtype)
+    return logits[:, 0, :], new_cache
+
+
 def llama_decode_step(
     params: Dict, token: jax.Array, cache: Dict, pos: jax.Array, cfg: LlamaConfig
 ):
@@ -767,6 +874,14 @@ def llama_decode_step(
     """
     b = token.shape[0]
     max_len = cache_max_len(cache)
+    if (
+        _stacked_attn_enabled()
+        and _stacked_gemv_enabled()
+        and "qkv" in params["layers"]
+        and "upgate" in params["layers"]
+        and (not cache_quantized(cache) or max_len % 128 == 0)
+    ):
+        return _decode_step_stacked_attn(params, token, cache, pos, cfg)
     x = _embed(params, token, cfg)  # [B, 1, D]
     cos, sin = rope_tables(cfg, pos[None, None])
     # attend to positions <= pos

@@ -197,3 +197,169 @@ def decode_attention(
         interpret=_interpret(),
     )(pos_arr, *operands)
     return out.reshape(b, h, d)
+
+
+def decode_attention_stacked(
+    q: jax.Array,  # [B, H, D] (RoPE already applied)
+    k_cache: jax.Array,  # [L, B, H_kv, S, D] STACKED cache, stale at pos
+    v_cache: jax.Array,  # [L, B, H_kv, S, D]
+    layer: jax.Array,  # scalar int32
+    pos: jax.Array,  # scalar int32: index of the current token
+    k_new: jax.Array,  # [B, H_kv, D] this layer's new-token K (RoPE applied)
+    v_new: jax.Array,  # [B, H_kv, D]
+    blk: int = 0,
+    k_scale: jax.Array = None,  # [L, B, H_kv, S] per-vector scales (int8)
+    v_scale: jax.Array = None,
+) -> jax.Array:
+    """`decode_attention` reading layer ``layer`` STRAIGHT out of the stacked
+    cache (scalar-prefetched layer index in the block maps) with the current
+    token's K/V supplied separately and folded in as one extra width-1 flash
+    term in-kernel.
+
+    Why this exists (round-4 decode decomposition): the scan-over-layers
+    decode loop used to (a) slice each layer's [B, H_kv, S, D] slab out of
+    the stacked cache (lax.scan materializes xs slices — a full slab copy),
+    and (b) dynamic_update_slice the new token into it (a second slab copy)
+    before attention read it.  At a 512-slot 7B cache that is ~0.5 GB/token
+    of pure copy traffic on top of the ~0.27 GB the attention actually needs.
+    Here the slab is DMA'd once, length-clamped (only blocks covering
+    positions < pos move), and never copied: cache slots at ``pos`` hold
+    STALE data and are masked strictly; the new token's score/value ride the
+    extra term.  The caller writes the token K/V back to the cache once per
+    step, after the layer scan (models/llama._cache_token_write).
+
+    int8 caches stream codes + fold scales exactly like `decode_attention`;
+    the new-token term uses the UNquantized vectors (more exact than the
+    quantize->dequantize round-trip the slab-update path pays).
+    """
+    b, h, d = q.shape
+    n_layers, _, hkv, s_max, _ = k_cache.shape
+    n_rep = h // hkv
+    quantized = k_scale is not None
+    if quantized:
+        assert s_max % 128 == 0, (
+            f"int8 KV cache needs a 128-aligned slot count, got {s_max}"
+        )
+    blk = _fit_blk(s_max, blk or _default_blk(s_max),
+                   align=128 if quantized else 8)
+    n_s = s_max // blk
+    scale = d**-0.5
+
+    qf = q.reshape(b * hkv, 1, n_rep * d)
+    kf = k_cache.reshape(n_layers * b * hkv, s_max, d)
+    vf = v_cache.reshape(n_layers * b * hkv, s_max, d)
+    knf = k_new.reshape(b * hkv, 1, d)
+    vnf = v_new.reshape(b * hkv, 1, d)
+    # scalar prefetch: [layer, pos]
+    sref = jnp.stack(
+        [jnp.asarray(layer, jnp.int32), jnp.asarray(pos, jnp.int32)]
+    )
+
+    def kernel(s_ref, q_ref, k_ref, v_ref, kn_ref, vn_ref, *rest):
+        if quantized:
+            ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+        else:
+            o_ref, m_ref, l_ref, acc_ref = rest
+        s_idx = pl.program_id(1)
+        p_now = s_ref[1]
+
+        @pl.when(s_idx == 0)
+        def _():
+            # seed the online-softmax state with the new-token term (width-1
+            # flash block): slot ``pos`` of the slab is stale and masked, the
+            # real current token lives in kn/vn
+            qt = q_ref[:].astype(jnp.float32).reshape(n_rep, d)
+            kn = kn_ref[:].astype(jnp.float32).reshape(1, d)
+            vn = vn_ref[:].astype(jnp.float32).reshape(1, d)
+            s_new = jnp.sum(qt * kn, axis=-1, keepdims=True) * scale  # [rep,1]
+            # p = exp(s_new - m) = 1 at m = s_new: state = (m=s_new, l=1, acc=vn)
+            m_ref[:] = s_new
+            l_ref[:] = jnp.ones_like(s_new)
+            acc_ref[:] = jnp.broadcast_to(vn, (n_rep, d))
+
+        @pl.when(s_idx * blk < p_now)
+        def _():
+            qt = q_ref[:].astype(jnp.float32).reshape(n_rep, d)
+            kt = k_ref.at[0][:].astype(jnp.float32)  # [blk, D]
+            vt = v_ref.at[0][:].astype(jnp.float32)
+            scores = jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [rep, blk]
+            if quantized:
+                scores = scores * ks_ref.at[0][:]
+            valid = (
+                s_idx * blk
+                + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+            ) < p_now  # STRICT: slot ``pos`` is stale
+            scores = jnp.where(valid, scores, -jnp.inf)
+
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+            p = jnp.exp(scores - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            if quantized:
+                p = p * vs_ref.at[0][:]
+            pv = jnp.dot(p, vt, preferred_element_type=jnp.float32)
+            acc_ref[:] = acc_ref[:] * alpha + pv
+            m_ref[:] = m_new
+
+        @pl.when(s_idx == pl.num_programs(1) - 1)
+        def _():
+            o_ref[:] = (
+                acc_ref[:] / l_ref[:]
+            ).astype(o_ref.dtype).reshape(1, 1, n_rep * d)
+
+    def bh_idx(bi, si, s_ref):
+        return (bi, 0, 0)
+
+    def clamp_idx(bi, si, s_ref):
+        # valid slab positions are < pos: last touched block covers pos-1;
+        # blocks past it re-map (DMA skipped).  pos==0 -> every step maps to
+        # block 0 (its DMA is wasted once but never read: the @when guard
+        # skips the compute)
+        last = jnp.maximum(s_ref[1] - 1, 0) // blk
+        return (s_ref[0] * (b * hkv) + bi, jnp.minimum(si, last), 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, n_rep * d), bh_idx),
+        pl.BlockSpec((1, blk, d), clamp_idx),
+        pl.BlockSpec((1, blk, d), clamp_idx),
+        pl.BlockSpec((1, 1, d), bh_idx),
+        pl.BlockSpec((1, 1, d), bh_idx),
+    ]
+    operands = [qf, kf, vf, knf, vnf]
+    if quantized:
+        def clamp_idx_s(bi, si, s_ref):
+            last = jnp.maximum(s_ref[1] - 1, 0) // blk
+            return (s_ref[0] * (b * hkv) + bi, 0, jnp.minimum(si, last))
+
+        in_specs += [pl.BlockSpec((1, 1, blk), clamp_idx_s)] * 2
+        operands += [
+            k_scale.reshape(n_layers * b * hkv, 1, s_max).astype(jnp.float32),
+            v_scale.reshape(n_layers * b * hkv, 1, s_max).astype(jnp.float32),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * hkv, n_s),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, n_rep * d), bh_idx),
+        scratch_shapes=[
+            pltpu.VMEM((n_rep, 1), jnp.float32),
+            pltpu.VMEM((n_rep, 1), jnp.float32),
+            pltpu.VMEM((n_rep, d), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * hkv, 1, n_rep * d), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(sref, *operands)
+    return out.reshape(b, h, d)
