@@ -149,6 +149,31 @@ def load_or_build():
     return build_packed_model(cfg, key, fuse_stages=True), cfg, False
 
 
+def bench_13b() -> float:
+    """Secondary number (VERDICT r3 #3): Llama-2-13B w4/g128/r256 decode on
+    the same workload (random packed builder — no 13B pipeline checkpoint
+    fits this round's chip budget), ctx 64 + 128 greedy steps, best of 2."""
+    gen = 128
+    cfg = LLAMA_PRESETS["llama2-13b"]
+    params = jax.device_put(
+        build_packed_model(cfg, jax.random.PRNGKey(1), r=256, fuse_stages=True)
+    )
+    prompt = jax.random.randint(
+        jax.random.PRNGKey(1), (1, CTX), 0, cfg.vocab_size, jnp.int32
+    )
+    cache = init_kv_cache(cfg, 1, MAX_LEN, dtype=jnp.bfloat16)
+    sc = SampleConfig(greedy=True)
+    tokens, _ = generate(params, prompt, cache, cfg, gen, sc)
+    np.asarray(tokens)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        tokens, _ = generate(params, prompt, cache, cfg, gen, sc)
+        np.asarray(tokens)
+        best = min(best, time.perf_counter() - t0)
+    return gen / best
+
+
 def main():
     params, cfg, real_ckpt = load_or_build()
     key = jax.random.PRNGKey(0)
@@ -212,6 +237,17 @@ def main():
 
     if _stacked_gemv_enabled():
         out["stacked_gemv"] = True
+    # 13B rides along on default headline runs only (not ablation configs);
+    # its failure must never cost the headline
+    if (
+        BATCH == 1 and MAX_LEN == 512 and not QUANT_LMHEAD
+        and os.environ.get("QEFT_BENCH_13B", "1") not in ("0", "", "false")
+    ):
+        del params, cache  # free the 7B HBM footprint before the 13B build
+        try:
+            out["decode_13b_tokens_per_s"] = round(bench_13b(), 2)
+        except Exception as e:
+            print(f"bench: 13B secondary failed ({e!r})", file=sys.stderr)
     print(json.dumps(out))
 
 

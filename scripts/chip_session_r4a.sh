@@ -13,6 +13,7 @@ set -uo pipefail
 cd /root/repo
 LOG=ckpt/chip_r4a.log
 run() {
+  export QEFT_BENCH_13B=0
   echo "=== $1 ===" | tee -a "$LOG"
   shift
   timeout 1500 env "$@" python bench.py 2>>/tmp/chip_r4a_err.log | tee -a "$LOG"

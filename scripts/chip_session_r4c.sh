@@ -10,6 +10,7 @@ set -uo pipefail
 cd /root/repo
 LOG=ckpt/chip_r4c.log
 run() {
+  export QEFT_BENCH_13B=0
   echo "=== $1 ===" | tee -a "$LOG"
   shift
   timeout 2100 env "$@" python bench.py 2>>/tmp/chip_r4c_err.log | tee -a "$LOG"

@@ -21,3 +21,20 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-process / long-running integration tests"
     )
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    jaxlib aborts (SIGABRT) when one process accumulates too many large
+    interpret-mode executables — round 3 hit it serializing test_tp_train's
+    programs and quarantined that one file into a subprocess; round 4's new
+    kernel tests moved the breaking point into the middle of the suite.
+    Clearing per module keeps the peak executable count bounded for every
+    ordering instead of patching whichever file crosses the line this time."""
+    yield
+    jax.clear_caches()
