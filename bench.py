@@ -70,9 +70,13 @@ HBM_BW_SPEC = 819e9
 
 CTX = 64
 GEN = 256
-# static KV allocation; the reference allocates max_position_embeddings (4096,
-# ftllama_modeling.py:60-67) — QEFT_BENCH_MAXLEN overrides for ablations
-MAX_LEN = int(os.environ.get("QEFT_BENCH_MAXLEN", "512"))
+# static KV allocation sized to the workload (ctx+gen = 320), the same policy
+# generate_simple defaults to — the reference statically allocates
+# max_position_embeddings (4096, ftllama_modeling.py:60-67) and pays full-slab
+# attention reads every step for it (33 vs 63 tok/s, BASELINE.md round 1).
+# QEFT_BENCH_MAXLEN overrides for ablations (512 was the old default; the
+# round-4 A/B at 320 reads 37% less KV slab per step).
+MAX_LEN = int(os.environ.get("QEFT_BENCH_MAXLEN", str(CTX + GEN)))
 BATCH = int(os.environ.get("QEFT_BENCH_BATCH", "1"))
 QUANT_LMHEAD = os.environ.get("QEFT_QUANT_LMHEAD", "0") not in ("0", "", "false")
 GROUP = 128
@@ -240,7 +244,7 @@ def main():
     # 13B rides along on default headline runs only (not ablation configs);
     # its failure must never cost the headline
     if (
-        BATCH == 1 and MAX_LEN == 512 and not QUANT_LMHEAD
+        BATCH == 1 and MAX_LEN == CTX + GEN and not QUANT_LMHEAD
         and os.environ.get("QEFT_BENCH_13B", "1") not in ("0", "", "false")
     ):
         del params, cache  # free the 7B HBM footprint before the 13B build

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qeft_tpu.ops.permute import apply_o_reorder
 from qeft_tpu.models.llama import _attention, _causal_mask, apply_linear
 from qeft_tpu.models.opt import layer_norm
 
@@ -161,9 +162,7 @@ def bloom_block(
         new_kv = None
 
     ctx = _attention(q, k_all, v_all, mask, 1, dtype)
-    o_in = ctx
-    if "o_reorder" in blk:
-        o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
+    o_in = apply_o_reorder(ctx, blk)
     x = x + apply_linear(blk["dense"], o_in, dtype) + blk["dense_b"]
 
     h2 = layer_norm(x, blk["post_ln"], blk["post_ln_b"], cfg.layer_norm_eps)

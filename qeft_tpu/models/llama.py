@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from qeft_tpu.ops.packing import QLinearParams, StackedLinear
+from qeft_tpu.ops.permute import apply_o_reorder
 from qeft_tpu.ops.qlinear import qlinear_apply, qlinear_fused_stage
 
 
@@ -428,9 +429,7 @@ def llama_block(
 
     # OGR: o_proj's input is in head order and cannot be statically permuted;
     # reordered models carry a per-block gather (reference qlinear.py:273-275)
-    o_in = ctx
-    if "o_reorder" in blk:
-        o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
+    o_in = apply_o_reorder(ctx, blk)
     if fused:
         x = qlinear_fused_stage(o_in, blk["o"], residual=x, dtype=dtype)
         ug = qlinear_fused_stage(
@@ -723,9 +722,7 @@ def llama_forward_window_ragged(
             ctx = flash_window_attention(q, k_read, v_read, pos)
         else:
             ctx = _attention(q, k_read, v_read, mask, hq // hkv, dtype)
-        o_in = ctx
-        if "o_reorder" in blk:
-            o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
+        o_in = apply_o_reorder(ctx, blk)
         xc = xc + apply_linear(blk["o"], o_in, dtype)
         h2 = rms_norm(xc, blk["post_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
         if "upgate" in blk:
@@ -834,9 +831,7 @@ def _decode_step_stacked_attn(
             new_c = {"k": kh.astype(cache["k"].dtype),
                      "v": vh.astype(cache["v"].dtype)}
 
-        o_in = ctx
-        if "o_reorder" in blk:
-            o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
+        o_in = apply_o_reorder(ctx, blk)
         if fused:
             xc = qlinear_fused_stage(o_in, blk["o"], residual=xc, dtype=dtype)
             ug = qlinear_fused_stage(

@@ -20,6 +20,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from qeft_tpu.ops.permute import apply_o_reorder
 from qeft_tpu.models.llama import _attention, _causal_mask, apply_linear
 
 
@@ -181,9 +182,7 @@ def opt_block(
         new_kv = None
 
     ctx = _attention(q, k_all, v_all, mask, 1, dtype)
-    o_in = ctx
-    if "o_reorder" in blk:
-        o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
+    o_in = apply_o_reorder(ctx, blk)
     x = res + apply_linear(blk["o"], o_in, dtype) + blk["o_b"]
     if not cfg.do_layer_norm_before:
         x = layer_norm(x, blk["attn_ln"], blk["attn_ln_b"], cfg.layer_norm_eps)

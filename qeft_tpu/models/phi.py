@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from qeft_tpu.ops.permute import apply_o_reorder
 from qeft_tpu.models.llama import _attention, _causal_mask, apply_linear
 from qeft_tpu.models.opt import layer_norm
 
@@ -166,9 +167,7 @@ def phi_block(
         new_kv = None
 
     ctx = _attention(q, k_all, v_all, mask, hq // hkv, dtype)
-    o_in = ctx
-    if "o_reorder" in blk:
-        o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
+    o_in = apply_o_reorder(ctx, blk)
     attn_out = apply_linear(blk["o"], o_in, dtype) + blk["o_b"]
 
     # MLP reads the SAME normalized input (parallel block)

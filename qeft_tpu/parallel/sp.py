@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from qeft_tpu.ops.permute import apply_o_reorder
 from qeft_tpu.models.llama import (
     LlamaConfig,
     _act,
@@ -122,9 +123,7 @@ def llama_prefill_sp(
             v = v.transpose(0, 2, 1, 3)
             ctx = _ring_attention(q, k, v, jnp.int32(off), n_sp, dtype)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, sl, hq * dh)
-            o_in = ctx
-            if "o_reorder" in blk:
-                o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
+            o_in = apply_o_reorder(ctx, blk)
             xc = xc + apply_linear(blk["o"], o_in, dtype)
             h2 = rms_norm(xc, blk["post_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
             if "upgate" in blk:
@@ -250,9 +249,7 @@ def llama_decode_step_sp(
             )
             ctx = (acc / jnp.maximum(denom, 1e-30)[..., None]).astype(dtype)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, hq * dh)
-            o_in = ctx
-            if "o_reorder" in blk:
-                o_in = jnp.take(ctx, blk["o_reorder"], axis=-1)
+            o_in = apply_o_reorder(ctx, blk)
             xc = xc + apply_linear(blk["o"], o_in, dtype)
             h2 = rms_norm(xc, blk["post_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
             if "upgate" in blk:

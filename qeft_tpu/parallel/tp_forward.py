@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from qeft_tpu.ops.permute import apply_o_reorder
 from qeft_tpu.models.llama import (
     LlamaConfig,
     _act,
@@ -142,12 +143,18 @@ def tp_shard_packed_params(params: Dict, mesh: Mesh, cfg: LlamaConfig,
 
     qkv_perm = _interleave_perm([hq * dh, hkv * dh, hkv * dh], tp)
     f = params["layers"]["upgate"].out_features // 2
-    assert f == cfg.intermediate_size, (
-        f"upgate halves are {f}-wide but intermediate_size is "
-        f"{cfg.intermediate_size}: TP sharding needs UNPADDED fused stages "
-        "(load with QEFT_PAD_UPGATE=0; the padding is a single-chip decode "
-        "tile optimization)"
-    )
+    if f != cfg.intermediate_size:
+        # default loads pad the upgate halves for bn=1024 single-chip decode
+        # tiles (pipeline.pad_upgate_halves); the TP column-interleave
+        # permutation assumes N = 2*intermediate, so slice the pad back out
+        from qeft_tpu.pipeline import unpad_upgate_halves
+
+        layers = dict(params["layers"])
+        layers["upgate"] = unpad_upgate_halves(
+            layers["upgate"], cfg.intermediate_size
+        )
+        params = {**params, "layers": layers}
+        f = cfg.intermediate_size
     ug_perm = _interleave_perm([f, f], tp)
 
     new_layers = {}
@@ -340,9 +347,7 @@ def _tp_block_step(blk: Dict, xc: jax.Array, c: Dict, cos, sin, mask, pos,
     # heads were interleaved shard-contiguously, so the tiled gather
     # reassembles the FULL head-ordered context
     ctx_full = jax.lax.all_gather(ctx, "tp", axis=2, tiled=True)
-    o_in = ctx_full
-    if "o_reorder" in blk:
-        o_in = jnp.take(ctx_full, blk["o_reorder"], axis=-1)
+    o_in = apply_o_reorder(ctx_full, blk)
     xc = xc + jax.lax.psum(
         _row_parallel_apply_stacked(blk["o"], o_in, my, tp, dtype), "tp"
     )
@@ -533,9 +538,7 @@ def _tp_window_body_ragged(params: Dict, tokens: jax.Array, cache: Dict,
             ctx = _attention(q, k_read, v_read, mask, hq_l // hkv_l, dtype)
 
         ctx_full = jax.lax.all_gather(ctx, "tp", axis=2, tiled=True)
-        o_in = ctx_full
-        if "o_reorder" in blk:
-            o_in = jnp.take(ctx_full, blk["o_reorder"], axis=-1)
+        o_in = apply_o_reorder(ctx_full, blk)
         xc = xc + jax.lax.psum(
             _row_parallel_apply_stacked(blk["o"], o_in, my, tp, dtype), "tp"
         )

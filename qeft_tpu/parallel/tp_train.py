@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from qeft_tpu.ops.permute import apply_o_reorder
 from qeft_tpu.finetune import IGNORE_INDEX, merge_wct, split_wct
 from qeft_tpu.models.llama import (
     LlamaConfig,
@@ -125,9 +126,7 @@ def _tp_forward_train(params: Dict, ids: jax.Array, cfg: LlamaConfig,
             hq_l // hkv_l, dtype,
         )  # [B, S, hq_l*dh]
         ctx_full = jax.lax.all_gather(ctx, "tp", axis=2, tiled=True)
-        o_in = ctx_full
-        if "o_reorder" in blk:
-            o_in = jnp.take(ctx_full, blk["o_reorder"], axis=-1)
+        o_in = apply_o_reorder(ctx_full, blk)
         xc = xc + jax.lax.psum(
             _row_parallel_apply(blk["o"], o_in, my, tp, dtype), "tp"
         )

@@ -881,14 +881,17 @@ def _fuse_stage(nb: Dict, names, fused_name: str):
 
 
 def _pad_upgate_enabled() -> bool:
-    """QEFT_PAD_UPGATE=1 pads each half of the fused upgate to a 1024-column
-    multiple so the decode matvec's `_auto_bn` can pick bn=1024 (7B upgate is
-    N=2x11008; 22016 has no 1024 divisor, so it runs bn=512 at 568 GB/s-int4
-    where the qkv stage reaches 631 at bn=1024 — gemv ablation probe,
-    BASELINE.md round 3).  Off until the on-chip A/B lands."""
+    """Pad each half of the fused upgate to a 1024-column multiple so the
+    decode matvec's `_auto_bn` can pick bn=1024 (7B upgate is N=2x11008;
+    22016 has no 1024 divisor, so it runs bn=512 at 568 GB/s-int4 where the
+    qkv stage reaches 631 at bn=1024 — gemv ablation probe, BASELINE.md
+    round 3).  Default ON since the round-4 on-chip A/B on the real pipeline
+    checkpoint: 108.92 tok/s padded vs 106.69 unpadded (+2.1%, the +1% extra
+    zero-pad bytes included).  QEFT_PAD_UPGATE=0 restores unpadded loads;
+    the TP shard path unpads automatically (tp_shard_packed_params)."""
     import os
 
-    return os.environ.get("QEFT_PAD_UPGATE", "0") not in ("0", "", "false")
+    return os.environ.get("QEFT_PAD_UPGATE", "1") not in ("0", "", "false")
 
 
 def pad_upgate_halves(lin, multiple: int = 1024):
@@ -918,6 +921,29 @@ def pad_upgate_halves(lin, multiple: int = 1024):
     )
 
 
+def unpad_upgate_halves(lin, intermediate_size: int):
+    """Inverse of `pad_upgate_halves`: slice a [up | 0pad | gate | 0pad]
+    fused linear back to [up | gate].  The TP shard path needs unpadded
+    halves (its column-interleave permutation assumes N = 2*intermediate)."""
+    f = intermediate_size
+    f_pad = lin.out_features // 2
+    if f_pad == f:
+        return lin
+
+    def cuth(a):
+        if a is None:
+            return None
+        return jnp.concatenate(
+            [a[..., :f], a[..., f_pad : f_pad + f]], axis=-1
+        )
+
+    return dataclasses.replace(
+        lin, qweight=cuth(lin.qweight), scales=cuth(lin.scales),
+        scaled_zeros=cuth(lin.scaled_zeros), oweight=cuth(lin.oweight),
+        bias=cuth(lin.bias),
+    )
+
+
 def fuse_packed_stages(params: Dict, meta: ModelMeta) -> Dict:
     """Post-pack stage fusion on a loaded (stacked) packed model: q/k/v ->
     'qkv', up/gate -> 'upgate'.  Same math as pack_model(fuse_stages=True);
@@ -931,7 +957,12 @@ def fuse_packed_stages(params: Dict, meta: ModelMeta) -> Dict:
         _fuse_stage(layers, meta.ffn1, "upgate")
         if _pad_upgate_enabled():
             layers["upgate"] = pad_upgate_halves(layers["upgate"])
-    return {**params, "layers": layers}
+    out = {**params, "layers": layers}
+    # banded o-permutation operands (ops/permute.py): the OGR o gather as MXU
+    # one-hot dots — 0.28 vs 1.15 ms/token on the 7B decode chain
+    from qeft_tpu.ops.permute import attach_o_band
+
+    return attach_o_band(out, o_name=meta.out[0])
 
 
 def pack_model(

@@ -53,13 +53,17 @@ def build_packed_model(cfg: LlamaConfig, key, g=128, r=128, fuse_stages=False,
 
 def _maybe_pad(params, fuse_stages):
     """Mirror production load (pipeline.fuse_packed_stages): pad the fused
-    upgate halves for bn=1024 decode tiles when QEFT_PAD_UPGATE=1."""
+    upgate halves for bn=1024 decode tiles (QEFT_PAD_UPGATE) and attach the
+    banded o-permutation operands (QEFT_O_BAND)."""
+    from qeft_tpu.ops.permute import attach_o_band
     from qeft_tpu.pipeline import _pad_upgate_enabled, pad_upgate_halves
 
     if fuse_stages and _pad_upgate_enabled():
         layers = dict(params["layers"])
         layers["upgate"] = pad_upgate_halves(layers["upgate"])
         params = {**params, "layers": layers}
+    if fuse_stages:
+        params = attach_o_band(params)
     return params
 
 

@@ -14,7 +14,10 @@ from qeft_tpu.testing import build_packed_model
 CFG = LLAMA_PRESETS["tiny"]  # intermediate 512: pads to 1024 per half
 
 
-def test_padded_upgate_decode_is_exact():
+def test_padded_upgate_decode_is_exact(monkeypatch):
+    # the baseline build must be UNPADDED (padding is default-on since the
+    # round-4 A/B); this test pads explicitly and compares against it
+    monkeypatch.setenv("QEFT_PAD_UPGATE", "0")
     packed = build_packed_model(CFG, jax.random.PRNGKey(0), g=64, r=16,
                                 fuse_stages=True, dtype=jnp.float32)
     layers = dict(packed["layers"])
@@ -40,6 +43,8 @@ def test_padded_upgate_pallas_interpret_is_exact():
 
     prev = os.environ.get("QEFT_PALLAS")
     os.environ["QEFT_PALLAS"] = "1"
+    prev_pad = os.environ.get("QEFT_PAD_UPGATE")
+    os.environ["QEFT_PAD_UPGATE"] = "0"  # unpadded baseline; pads explicitly
     try:
         packed = build_packed_model(CFG, jax.random.PRNGKey(1), g=64, r=16,
                                     fuse_stages=True, dtype=jnp.float32)
@@ -60,3 +65,7 @@ def test_padded_upgate_pallas_interpret_is_exact():
             os.environ.pop("QEFT_PALLAS", None)
         else:
             os.environ["QEFT_PALLAS"] = prev
+        if prev_pad is None:
+            os.environ.pop("QEFT_PAD_UPGATE", None)
+        else:
+            os.environ["QEFT_PAD_UPGATE"] = prev_pad

@@ -135,7 +135,10 @@ def test_quantized_beats_nothing_sanity():
     assert e_gptq <= e_rtn * 1.05
 
 
-def test_fused_stage_packing_matches_unfused():
+def test_fused_stage_packing_matches_unfused(monkeypatch):
+    # compare pack-time vs post-pack fusion without the (default-on) load-time
+    # upgate padding — padding equivalence has its own test (test_pad_upgate)
+    monkeypatch.setenv("QEFT_PAD_UPGATE", "0")
     params, calib = setup()
     args = make_args(reorder=True)
     outidx, _ = extract_global_outidx(params, calib, CFG, META, args)
@@ -156,6 +159,12 @@ def test_fused_stage_packing_matches_unfused():
 
     refused = fuse_packed_stages(packed, META)
     assert "qkv" in refused["layers"] and "q" not in refused["layers"]
+    # o_band/o_tail are load-time operand attachments (ops/permute.py), not
+    # part of the pack-time tree; their equivalence has its own tests
+    refused["layers"] = {
+        k: v for k, v in refused["layers"].items()
+        if k not in ("o_band", "o_tail")
+    }
     for k, v in refused["layers"].items():
         jax.tree.map(
             lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
