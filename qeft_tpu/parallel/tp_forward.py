@@ -232,7 +232,8 @@ def _row_parallel_apply_stacked(sl, x_full, my, tp, dtype):
     return part
 
 
-def _tp_specs(params: Dict, cache: Dict, pp_axis: str = None):
+def _tp_specs(params: Dict, cache: Dict, pp_axis: str = None,
+              dp_axis: str = None):
     L = pp_axis  # layer-axis placement ("pp" in the 2-D composition)
 
     def lin_spec(leaf: QLinearParams, shard_n: bool) -> QLinearParams:
@@ -264,9 +265,10 @@ def _tp_specs(params: Dict, cache: Dict, pp_axis: str = None):
         "lm_head": P(None, "tp"),
     }
     # head-major cache [L, B, H_kv, S, Dh] (+ [L, B, H_kv, S] int8 scale
-    # planes): shard over kv heads (and layers over pp in the 2-D case)
+    # planes): shard over kv heads (layers over pp in the 2-D case, batch
+    # rows over dp in the 3-D dp×pp×tp composition)
     cache_specs = {
-        name: P(*(L, None, "tp", None, None)[: cache[name].ndim])
+        name: P(*(L, dp_axis, "tp", None, None)[: cache[name].ndim])
         for name in cache
     }
     return param_specs, cache_specs

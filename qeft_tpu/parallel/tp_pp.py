@@ -1,4 +1,5 @@
-"""2-D tensor×pipeline parallel decode: a ("pp", "tp") mesh, tp inner.
+"""2-D/3-D tensor×pipeline(×data) parallel decode: a ("pp", "tp") mesh —
+optionally ("dp", "pp", "tp") with batch rows sharded over the outer dp axis.
 
 The 70B pod shape (BASELINE.md: Llama-2-70B w4/g128 multi-host decode): layers
 shard over the OUTER ``pp`` axis (one layer span per stage, exactly
@@ -40,13 +41,22 @@ from qeft_tpu.parallel.tp_forward import (
 )
 
 
+def _dp_axis(mesh: Mesh):
+    """Optional outer data-parallel axis: present iff the mesh names 'dp'.
+    The 3-D dp×pp×tp composition shards batch rows (tokens + cache) over it;
+    weights replicate and no collective ever crosses it."""
+    return "dp" if "dp" in mesh.shape else None
+
+
 def tppp_shard_params(params: Dict, cache: Dict, mesh: Mesh,
                       cfg: LlamaConfig) -> Tuple[Dict, Dict]:
-    """Lay out a stage-fused packed model + cache on the 2-D mesh: layer axis
-    on ``pp``, weight N/K axes on ``tp`` (column-interleaved qkv/upgate,
-    shard-major-word o/down — the tp_forward contract), KV heads on ``tp``."""
+    """Lay out a stage-fused packed model + cache on the ("pp", "tp") mesh
+    (optionally ("dp", "pp", "tp")): layer axis on ``pp``, weight N/K axes on
+    ``tp`` (column-interleaved qkv/upgate, shard-major-word o/down — the
+    tp_forward contract), KV heads on ``tp``, batch rows on ``dp``."""
     sharded = tp_shard_packed_params(params, mesh, cfg, pp_axis="pp")
-    _, cache_specs = _tp_specs(params, cache, pp_axis="pp")
+    _, cache_specs = _tp_specs(params, cache, pp_axis="pp",
+                               dp_axis=_dp_axis(mesh))
     cache = {
         name: jax.device_put(leaf, NamedSharding(mesh, cache_specs[name]))
         for name, leaf in cache.items()
@@ -166,18 +176,22 @@ def tppp_forward_window(
     """Pipelined+tensor-parallel W-token window (W=prompt: sharded prefill;
     W=1: one decode step).  Returns (last-position logits [B, V], cache)."""
     n_pp, tp = mesh.shape["pp"], mesh.shape["tp"]
+    dp_ax = _dp_axis(mesh)
+    dp = mesh.shape["dp"] if dp_ax else 1
     b = tokens.shape[0]
-    m_count = _pick_m_count(b, n_pp, n_microbatches)
+    assert b % dp == 0, (b, dp)
+    m_count = _pick_m_count(b // dp, n_pp, n_microbatches)
     assert cfg.num_layers % n_pp == 0, (cfg.num_layers, n_pp)
     assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0
-    param_specs, cache_specs = _tp_specs(params, cache, pp_axis="pp")
+    param_specs, cache_specs = _tp_specs(params, cache, pp_axis="pp",
+                                         dp_axis=dp_ax)
 
     stage = partial(_tppp_stage_window, cfg=cfg, n_pp=n_pp, tp=tp,
                     m_count=m_count)
     return jax.shard_map(
         stage, mesh=mesh,
-        in_specs=(param_specs, P(None, None), cache_specs, P()),
-        out_specs=(P(None, None), cache_specs),
+        in_specs=(param_specs, P(dp_ax, None), cache_specs, P()),
+        out_specs=(P(dp_ax, None), cache_specs),
         check_vma=False,
     )(params, tokens, cache, pos)
 
@@ -209,21 +223,27 @@ def _tppp_decode_loop(
     max_new_tokens: int,
     n_microbatches: int = 0,
 ):
-    """The whole greedy decode loop in ONE shard_map over the 2-D mesh."""
+    """The whole greedy decode loop in ONE shard_map over the (dp×)pp×tp
+    mesh."""
     n_pp, tp = mesh.shape["pp"], mesh.shape["tp"]
+    dp_ax = _dp_axis(mesh)
+    dp = mesh.shape["dp"] if dp_ax else 1
     b = first.shape[0]
-    m_count = _pick_m_count(b, n_pp, n_microbatches)
-    param_specs, cache_specs = _tp_specs(params, cache, pp_axis="pp")
+    assert b % dp == 0, (b, dp)
+    m_count = _pick_m_count(b // dp, n_pp, n_microbatches)
+    param_specs, cache_specs = _tp_specs(params, cache, pp_axis="pp",
+                                         dp_axis=dp_ax)
     stage = partial(_tppp_stage_window, cfg=cfg, n_pp=n_pp, tp=tp,
                     m_count=m_count)
 
     def loop(params_l, first, cache_l):
-        out = jnp.zeros((b, max_new_tokens), jnp.int32)
+        bl = first.shape[0]
+        out = jnp.zeros((bl, max_new_tokens), jnp.int32)
         out = out.at[:, 0].set(first)
 
         def step(i, state):
             out, cache_l = state
-            cur = jax.lax.dynamic_slice(out, (0, i - 1), (b, 1))
+            cur = jax.lax.dynamic_slice(out, (0, i - 1), (bl, 1))
             logits, cache_l = stage(
                 params_l, cur, cache_l, jnp.int32(s_prompt) + i - 1
             )
@@ -235,8 +255,8 @@ def _tppp_decode_loop(
 
     return jax.shard_map(
         loop, mesh=mesh,
-        in_specs=(param_specs, P(None), cache_specs),
-        out_specs=(P(None, None), cache_specs),
+        in_specs=(param_specs, P(dp_ax), cache_specs),
+        out_specs=(P(dp_ax, None), cache_specs),
         check_vma=False,
     )(params, first, cache)
 

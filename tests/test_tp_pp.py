@@ -82,6 +82,11 @@ def make_2d_mesh(n_pp: int, tp: int) -> Mesh:
     return Mesh(devs, ("pp", "tp"))
 
 
+def make_3d_mesh(dp: int, n_pp: int, tp: int) -> Mesh:
+    devs = np.array(jax.devices()[: dp * n_pp * tp]).reshape(dp, n_pp, tp)
+    return Mesh(devs, ("dp", "pp", "tp"))
+
+
 def _roundtrip(cfg, mesh, batch, r=16, g=64):
     packed = build_packed_model(cfg, jax.random.PRNGKey(0), g=g, r=r,
                                 fuse_stages=True, dtype=jnp.float32)
@@ -122,6 +127,14 @@ def check_tppp_decode_70b_gqa_shape():
     _roundtrip(CFG_70B_SHAPE, make_2d_mesh(2, 4), batch=2)
 
 
+def check_dp_tppp_decode_matches_single_device():
+    """Full 3-D dp×pp×tp composition: batch rows shard over the outer dp
+    axis (weights replicated, no cross-dp collective), layers over pp, block
+    weights/KV heads over tp — the complete pod shape of VERDICT r3 #5."""
+    cfg = LLAMA_PRESETS["tiny-v2"]
+    _roundtrip(cfg, make_3d_mesh(2, 2, 2), batch=4)
+
+
 def check_tppp_generate_matches_single_device():
     cfg = LLAMA_PRESETS["tiny-v2"]
     packed = build_packed_model(cfg, jax.random.PRNGKey(1), g=64, r=16,
@@ -142,5 +155,6 @@ def check_tppp_generate_matches_single_device():
 if __name__ == "__main__":
     check_tppp_decode_matches_single_device()
     check_tppp_decode_70b_gqa_shape()
+    check_dp_tppp_decode_matches_single_device()
     check_tppp_generate_matches_single_device()
     print("tp-pp child ok")
