@@ -87,10 +87,11 @@ def make_3d_mesh(dp: int, n_pp: int, tp: int) -> Mesh:
     return Mesh(devs, ("dp", "pp", "tp"))
 
 
-def _roundtrip(cfg, mesh, batch, r=16, g=64):
+def _roundtrip(cfg, mesh, batch, r=16, g=64, quantized=False):
     packed = build_packed_model(cfg, jax.random.PRNGKey(0), g=g, r=r,
                                 fuse_stages=True, dtype=jnp.float32)
-    cache = init_kv_cache(cfg, batch, 32, dtype=jnp.float32)
+    cache = init_kv_cache(cfg, batch, 32, dtype=jnp.float32,
+                          quantized=quantized)
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(batch, 6)))
     _, cache = llama_prefill(packed, prompt, cache, cfg)
@@ -127,6 +128,14 @@ def check_tppp_decode_70b_gqa_shape():
     _roundtrip(CFG_70B_SHAPE, make_2d_mesh(2, 4), batch=2)
 
 
+def check_tppp_decode_int8_kv_matches_single_device():
+    """int8-KV (codes + per-vector scale planes) through the 2-D composition:
+    the scale planes' [L, B, H_kv, S] leaves must pick up (pp, dp, tp) specs
+    consistently with the code slabs."""
+    cfg = LLAMA_PRESETS["tiny-v2"]
+    _roundtrip(cfg, make_2d_mesh(2, 2), batch=2, quantized=True)
+
+
 def check_dp_tppp_decode_matches_single_device():
     """Full 3-D dp×pp×tp composition: batch rows shard over the outer dp
     axis (weights replicated, no cross-dp collective), layers over pp, block
@@ -155,6 +164,7 @@ def check_tppp_generate_matches_single_device():
 if __name__ == "__main__":
     check_tppp_decode_matches_single_device()
     check_tppp_decode_70b_gqa_shape()
+    check_tppp_decode_int8_kv_matches_single_device()
     check_dp_tppp_decode_matches_single_device()
     check_tppp_generate_matches_single_device()
     print("tp-pp child ok")
