@@ -71,14 +71,25 @@ def flash_window_attention(
     # sliced off (their positions extend past pos+s-1, never NaN)
     blk_q = min(blk_q, -(-s // 8) * 8)
     s_pad = -(-s // blk_q) * blk_q
-    blk_k = _fit(s_k, blk_k)
-    n_q, n_k = s_pad // blk_q, s_k // blk_k
 
     qh = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
     if s_pad != s:
         qh = jnp.pad(qh, ((0, 0), (0, s_pad - s), (0, 0)))
     kf = k_all.reshape(b * hkv, s_k, d)
     vf = v_all.reshape(b * hkv, s_k, d)
+    # Mosaic requires 8-aligned (sublane-tiled) key blocks; an s_k with no
+    # 8-multiple divisor (e.g. a prime 193-slot cache) would otherwise make
+    # _fit fall back to blk_k = s_k and fail TPU compile.  Pad keys up: a
+    # padded key sits at kpos >= s_k > pos + s - 1 (callers never query past
+    # the cache), so the causal mask always zeroes it.  Callers that size
+    # caches to multiples of 8 (bench, Engine) never take this copy.
+    s_k_pad = -(-s_k // 8) * 8
+    if s_k_pad != s_k:
+        kf = jnp.pad(kf, ((0, 0), (0, s_k_pad - s_k), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, s_k_pad - s_k), (0, 0)))
+        s_k = s_k_pad
+    blk_k = _fit(s_k, blk_k)
+    n_q, n_k = s_pad // blk_q, s_k // blk_k
     pos_arr = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
 
     def kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):

@@ -166,10 +166,12 @@ def main(argv=None):
 
     bsz = args.batch if args.method == "spec-batch" else 1
     prompt = jax.random.randint(key, (bsz, args.context), 0, cfg.vocab_size, jnp.int32)
-    # speculative rounds write up to gamma+1 positions past the accepted point
+    # speculative rounds write up to gamma+1 positions past the accepted
+    # point; 8-aligned so flash/Pallas kernels never see an unaligned S dim
     max_len = args.context + args.gen + (
         args.gamma + 1 if args.method in ("spec", "spec-batch") else 0
     )
+    max_len = -(-max_len // 8) * 8
     cache = api.init_cache(cfg, bsz, max_len, dtype=jnp.bfloat16)
 
     sc = SampleConfig(

@@ -236,6 +236,10 @@ class Engine:
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
+        # 8-align the slot length: Mosaic tiles the cache's S dim in
+        # 8-sublane units, and an unaligned length would force the flash
+        # window kernel onto its padded-copy fallback every tick
+        max_len = -(-max_len // 8) * 8
         self.max_len = max_len
         self.eos_id = eos_id
         self.sc = sample_config

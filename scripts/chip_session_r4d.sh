@@ -23,3 +23,4 @@ run "C2 batch=8"            env QEFT_BENCH_13B=0 QEFT_BENCH_BATCH=8 python bench
 run "D int8kv@4096"         env QEFT_BENCH_13B=0 QEFT_KV_DTYPE=int8 QEFT_BENCH_MAXLEN=4096 python bench.py
 run "E prefill A/B"         python scripts/prefill_probe.py 1024 4096
 run "F self-draft spec"     python -m qeft_tpu.run_benchmark --method spec --load "$CKPT" --draft_layers 32 --gamma 4 --context 64 --gen 128
+run "G int8kv+int4lm"       env QEFT_BENCH_13B=0 QEFT_KV_DTYPE=int8 QEFT_QUANT_LMHEAD=1 python bench.py
