@@ -116,16 +116,28 @@ def measure_hbm_bw() -> float:
     return 2.0 * arr.size * arr.dtype.itemsize * reps / best
 
 
-def streamed_bytes_per_token(params) -> int:
-    """Bytes that must cross HBM per decoded token: every decoder-layer
-    parameter + final norm + lm_head (embed is a single-row gather)."""
-    total = 0
-    for leaf in jax.tree.leaves(params["layers"]):
-        total += leaf.size * leaf.dtype.itemsize
-    total += params["final_ln"].size * 2
+def streamed_bytes_per_token(params) -> tuple:
+    """(streamed, intrinsic) bytes that cross HBM per decoded token.
+
+    ``streamed`` counts every decoder-layer leaf + final norm + lm_head
+    (embed is a single-row gather).  ``intrinsic`` excludes the one-hot
+    band/tail operands of the banded o-permutation (ops/permute.py) — bytes
+    the implementation CHOOSES to stream, not bytes the algorithm requires
+    (VERDICT r4 weak #2: counting them in the denominator flatters the
+    roofline fraction; `vs_baseline` uses the intrinsic denominator)."""
+    streamed = 0
+    aux = 0
+    for name, leaf in params["layers"].items():
+        nbytes = sum(
+            l.size * l.dtype.itemsize for l in jax.tree.leaves(leaf)
+        )
+        streamed += nbytes
+        if name in ("o_band", "o_tail"):
+            aux += nbytes
+    streamed += params["final_ln"].size * 2
     for leaf in jax.tree.leaves(params["lm_head"]):
-        total += leaf.size * leaf.dtype.itemsize
-    return total
+        streamed += leaf.size * leaf.dtype.itemsize
+    return streamed, streamed - aux
 
 
 CKPT = os.environ.get(
@@ -153,15 +165,39 @@ def load_or_build():
     return build_packed_model(cfg, key, fuse_stages=True), cfg, False
 
 
-def bench_13b() -> float:
-    """Secondary number (VERDICT r3 #3): Llama-2-13B w4/g128/r256 decode on
-    the same workload (random packed builder — no 13B pipeline checkpoint
-    fits this round's chip budget), ctx 64 + 128 greedy steps, best of 2."""
+CKPT_13B = os.environ.get(
+    "QEFT_BENCH_CKPT_13B", "/root/repo/ckpt/llama2_13b_w4g128r256_packed"
+)
+
+
+def bench_13b() -> tuple:
+    """Secondary number (BASELINE config 3): Llama-2-13B w4/g128/r256 decode
+    on the same workload, ctx 64 + 128 greedy steps, best of 2.  Prefers the
+    REAL pipeline checkpoint (scripts/quant13b.sh — the reference's
+    load->benchmark discipline, main.py:510,310-371) and reports whether it
+    rode it; the shape-faithful random builder is the fallback."""
     gen = 128
     cfg = LLAMA_PRESETS["llama2-13b"]
-    params = jax.device_put(
-        build_packed_model(cfg, jax.random.PRNGKey(1), r=256, fuse_stages=True)
-    )
+    real = False
+    params = None
+    if os.path.exists(CKPT_13B + ".json"):
+        try:
+            from qeft_tpu.checkpoint import load_packed
+            from qeft_tpu.models.registry import get_model_meta
+            from qeft_tpu.pipeline import fuse_packed_stages
+
+            params, cfg, family = load_packed(CKPT_13B)
+            params = fuse_packed_stages(params, get_model_meta(family))
+            real = True
+        except Exception as e:
+            print(f"bench: 13B checkpoint {CKPT_13B} unusable ({e!r}); "
+                  "falling back to the random builder", file=sys.stderr)
+            params = None
+    if params is None:
+        params = build_packed_model(
+            cfg, jax.random.PRNGKey(1), r=256, fuse_stages=True
+        )
+    params = jax.device_put(params)
     prompt = jax.random.randint(
         jax.random.PRNGKey(1), (1, CTX), 0, cfg.vocab_size, jnp.int32
     )
@@ -175,7 +211,7 @@ def bench_13b() -> float:
         tokens, _ = generate(params, prompt, cache, cfg, gen, sc)
         np.asarray(tokens)
         best = min(best, time.perf_counter() - t0)
-    return gen / best
+    return gen / best, real
 
 
 def main():
@@ -212,18 +248,22 @@ def main():
     toks_per_s = GEN / best  # sequential decode steps/s (x BATCH sequences)
 
     hbm_bw = measure_hbm_bw()
-    wbytes = streamed_bytes_per_token(params)
-    roof_spec = HBM_BW_SPEC / wbytes
-    roof_meas = hbm_bw / wbytes
+    wbytes, ibytes = streamed_bytes_per_token(params)
+    roof_spec = HBM_BW_SPEC / ibytes
+    roof_meas = hbm_bw / ibytes
     out = {
         "metric": "decode_tokens_per_s_per_chip_llama2_7b_w4g128r128",
         "value": round(toks_per_s, 2),
         "unit": "tokens/s",
-        # fraction of THIS chip's physically achievable decode rate
+        # fraction of THIS chip's physically achievable decode rate, on the
+        # INTRINSIC bytes/token denominator (band operands excluded: streaming
+        # extra operands must never raise this number)
         "vs_baseline": round(toks_per_s / roof_meas, 4),
         "vs_spec_roofline": round(toks_per_s / roof_spec, 4),
+        "vs_roofline_streamed": round(toks_per_s * wbytes / hbm_bw, 4),
         "hbm_bw_measured_gbs": round(hbm_bw / 1e9, 1),
         "streamed_gb_per_token": round(wbytes / 1e9, 3),
+        "intrinsic_gb_per_token": round(ibytes / 1e9, 3),
     }
     if BATCH != 1:
         out["batch"] = BATCH
@@ -249,7 +289,9 @@ def main():
     ):
         del params, cache  # free the 7B HBM footprint before the 13B build
         try:
-            out["decode_13b_tokens_per_s"] = round(bench_13b(), 2)
+            t13, real13 = bench_13b()
+            out["decode_13b_tokens_per_s"] = round(t13, 2)
+            out["real_pipeline_ckpt_13b"] = bool(real13)
         except Exception as e:
             print(f"bench: 13B secondary failed ({e!r})", file=sys.stderr)
     print(json.dumps(out))

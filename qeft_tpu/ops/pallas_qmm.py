@@ -69,6 +69,46 @@ def _plane_dot(xp, wp_f32, cdtype):
                    preferred_element_type=jnp.float32)
 
 
+def _tele() -> bool:
+    """Telescoped 8-bit-field extraction (round 5): extract each byte field
+    once and derive both of its nibbles by a plain shift, cutting the
+    per-word extraction from 16 VPU ops (8 shifts + 8 ands) to 10; the
+    16*c_hi cross term the byte field introduces cancels EXACTLY against a
+    dot of the activation difference x_hi - 16*x_lo (computed on the [BM,
+    K/8] side, ~bn/8 times smaller than the [K/8, BN] plane work).  Numerics:
+    median relative deviation vs the plain-plane f32 path is ~3e-6 (max
+    ~4e-3 on near-zero outputs) — far below the bf16 activation granularity;
+    the 16-bit-field variant amplifies MXU rounding ~200x worse and was
+    rejected.  Default OFF until the on-chip A/B lands; QEFT_GEMV_TELE=1
+    enables."""
+    return os.environ.get("QEFT_GEMV_TELE", "0") not in ("0", "", "false")
+
+
+def _dequant_dots(acc, qw, get_xp, s_exp, cdtype):
+    """acc += sum_p x_p @ (plane_p(qw) * s_exp) over all 8 nibble planes.
+
+    ``get_xp(p)`` yields the [BM, K/8] plane-major activation slice.  Two
+    realizations of the same math: the plain per-plane shift+mask loop, or
+    the telescoped byte-field form (`_tele`)."""
+    if not _tele():
+        for p in range(8):
+            plane = (qw >> (4 * p)) & 0xF
+            acc += _plane_dot(get_xp(p), _plane_weights(plane, s_exp), cdtype)
+        return acc
+    fields = ((0, qw & 0xFF), (2, (qw >> 8) & 0xFF), (4, (qw >> 16) & 0xFF),
+              (6, jax.lax.shift_right_logical(qw, 24)))
+    for base, field in fields:
+        lo = field  # c_lo + 16*c_hi
+        hi = field >> 4  # c_hi
+        x_lo = get_xp(base).astype(jnp.float32)
+        x_hi = get_xp(base + 1).astype(jnp.float32)
+        acc += jnp.dot(x_lo, lo.astype(jnp.float32) * s_exp,
+                       preferred_element_type=jnp.float32)
+        acc += jnp.dot(x_hi - 16.0 * x_lo, hi.astype(jnp.float32) * s_exp,
+                       preferred_element_type=jnp.float32)
+    return acc
+
+
 def _auto_bn(n: int, k8: int, bn_env: str = "QEFT_GEMV_BN") -> int:
     """Decode-matvec N-tile width.
 
@@ -137,10 +177,9 @@ def _qmm_kernel(
         sumx_ref[:].astype(cdtype), sz_ref[:].astype(cdtype),
         preferred_element_type=jnp.float32,
     )
-    for p in range(8):
-        plane = (qw >> (4 * p)) & 0xF  # int32
-        xp = xpl_ref[:, p * k8 : (p + 1) * k8]
-        acc += _plane_dot(xp, _plane_weights(plane, s_exp), cdtype)
+    acc = _dequant_dots(
+        acc, qw, lambda p: xpl_ref[:, p * k8 : (p + 1) * k8], s_exp, cdtype
+    )
 
     out_ref[:] = acc.astype(out_ref.dtype)
 
@@ -209,10 +248,9 @@ def _qmm_kernel_stacked(
         sumx_ref[:].astype(cdtype), sz_ref.at[0][:].astype(cdtype),
         preferred_element_type=jnp.float32,
     )
-    for p in range(8):
-        plane = (qw >> (4 * p)) & 0xF
-        xp = xpl_ref[:, p * k8 : (p + 1) * k8]
-        acc += _plane_dot(xp, _plane_weights(plane, s_exp), cdtype)
+    acc = _dequant_dots(
+        acc, qw, lambda p: xpl_ref[:, p * k8 : (p + 1) * k8], s_exp, cdtype
+    )
 
     out_ref[:] = acc.astype(out_ref.dtype)
 
@@ -386,10 +424,9 @@ def _qmm_kernel_stacked_fused(
     qw = qw_ref.at[0][:]
     acc = jnp.dot(sumx_ref[:].astype(cdtype), sz_ref.at[0][:].astype(cdtype),
                   preferred_element_type=jnp.float32)
-    for p in range(8):
-        plane = (qw >> (4 * p)) & 0xF
-        acc += _plane_dot(h[:, p * k8 : (p + 1) * k8],
-                          _plane_weights(plane, s_exp), cdtype)
+    acc = _dequant_dots(
+        acc, qw, lambda p: h[:, p * k8 : (p + 1) * k8], s_exp, cdtype
+    )
 
     if has_ow:
         acc += jnp.dot(t_ref[:], ow_ref.at[0][:].astype(cdtype),

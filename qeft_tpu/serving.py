@@ -387,6 +387,76 @@ class Engine:
         return self.finished
 
 
+class MultiHostEngine:
+    """Continuous batching across HOSTS: data-parallel serving replicas over
+    DCN, tensor parallelism inside each host over ICI (SURVEY §2.3 north
+    star — "multi-host decode with continuous batching across hosts"; the
+    reference's nearest capability is the blocking 2-GPU 65B/70B pipeline,
+    /root/reference/qeft/benchmark.py:255-256).
+
+    Topology, per the scaling-book recipe for bandwidth-bound decode: decode
+    replicas never need cross-host collectives — the batch axis is
+    embarrassingly parallel — so each host runs a full `Engine` on its OWN
+    ICI-local devices (optionally a host-local tp mesh) and requests scale
+    out at the admission level.  DCN carries only request routing (here: a
+    deterministic `request_id % process_count` hash every host evaluates
+    identically, so no coordinator process is needed) and telemetry
+    aggregation (`stats`, a process_allgather at reporting time).
+
+    Every host calls `submit` with the SAME global request stream; each
+    keeps only its own share.  `run` serves the local share to completion;
+    `stats` returns cluster-wide totals.  Single-process runs degrade to a
+    plain Engine (route accepts everything).
+    """
+
+    def __init__(self, params: Dict, cfg: LlamaConfig,
+                 engine_cls=Engine, **engine_kw):
+        self.engine = engine_cls(params, cfg, **engine_kw)
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        self.routed = 0  # global requests seen (for routing stats)
+
+    def route(self, request_id: int) -> int:
+        """Owning process of a request — a pure function of the id, so every
+        host routes identically without coordination."""
+        return request_id % self.process_count
+
+    def submit(self, req: Request) -> bool:
+        """Offer a request from the GLOBAL stream; returns True if this host
+        owns (and enqueued) it."""
+        self.routed += 1
+        if self.route(req.request_id) != self.process_index:
+            return False
+        self.engine.submit(req)
+        return True
+
+    def run(self, max_ticks: int = 100000) -> List[Request]:
+        """Serve this host's share to completion (no cross-host syncs in the
+        decode path — stragglers on other hosts never stall this one)."""
+        return self.engine.run(max_ticks=max_ticks)
+
+    def stats(self) -> Dict[str, int]:
+        """Cluster-wide serving totals, aggregated over DCN at reporting
+        time only."""
+        from jax.experimental import multihost_utils
+
+        local = np.asarray(
+            [len(self.engine.finished),
+             sum(len(r.output) for r in self.engine.finished)],
+            np.int64,
+        )
+        if self.process_count == 1:
+            per_host = local[None]
+        else:
+            per_host = multihost_utils.process_allgather(local)
+        return {
+            "requests_local": int(local[0]),
+            "tokens_local": int(local[1]),
+            "requests_total": int(per_host[:, 0].sum()),
+            "tokens_total": int(per_host[:, 1].sum()),
+        }
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg_t", "cfg_d", "gamma", "sc", "greedy"),

@@ -66,6 +66,41 @@ def make_kernel(variant: str, n_groups: int):
         k8, bn = qw_ref.shape
         h = k8 // n_groups
         qw = qw_ref[:]
+        if variant in ("v7_tele16", "v8_tele8"):
+            # EXACT telescoped extraction (round-5, VERDICT r4 #3): extract
+            # 16-bit (or 8-bit) fields once and derive the per-code dequant
+            # operands by plain shifts of the SAME field; the cross terms the
+            # wide field introduces cancel exactly against dots of activation
+            # DIFFERENCES a_p = x_p - 16*x_{p-1} ([BM, K/8] VPU work, ~250x
+            # smaller than the [K/8, BN] plane work it replaces).  Cuts the
+            # per-word extraction from 16 VPU ops (8 shifts + 8 ands) to 8
+            # (tele16) / 10 (tele8); converts/muls/dots stay one per code.
+            s_exp = pltpu.repeat(s_ref[:n_groups].astype(jnp.float32), h, 0)
+            acc = jnp.zeros(out_ref.shape, jnp.float32)
+            if variant == "v7_tele16":
+                fields = [(0, qw & 0xFFFF),
+                          (4, jax.lax.shift_right_logical(qw, 16))]
+                levels = 4
+            else:
+                fields = [(0, qw & 0xFF), (2, (qw >> 8) & 0xFF),
+                          (4, (qw >> 16) & 0xFF),
+                          (6, jax.lax.shift_right_logical(qw, 24))]
+                levels = 2
+            for base, field in fields:
+                cur = field
+                for j in range(levels):
+                    p = base + j
+                    if j > 0:
+                        cur = cur >> 4
+                    xp = xpl_ref[:, p * k8 : (p + 1) * k8].astype(jnp.float32)
+                    if j > 0:
+                        xm = xpl_ref[:, (p - 1) * k8 : p * k8].astype(
+                            jnp.float32)
+                        xp = xp - 16.0 * xm
+                    acc += jnp.dot(xp, cur.astype(jnp.float32) * s_exp,
+                                   preferred_element_type=jnp.float32)
+            out_ref[:] = acc.astype(out_ref.dtype)
+            return
         if variant == "v4_dma":
             # touch every word once, no dequant; keep an input dependency so
             # the call cannot hoist out of the timing loop
@@ -149,6 +184,21 @@ def build(variant: str, k: int, n: int, g: int, bn: int):
 
 
 import os
+
+ROUND3 = os.environ.get("QEFT_ABL_ROUND3", "0") not in ("0", "", "false")
+if ROUND3:
+    # round 3 (r5): telescoped-extraction variants vs the adopted v6 f32-dot
+    # production math, at the production tile widths
+    RUNS = [("down 11008->4096", 11008, 4096, 128, 512),
+            ("qkv 4096->12288", 4096, 12288, 128, 1024)]
+    for label, k, n, g, bn in RUNS:
+        ib = k * n // 2
+        for v in ("v6_f32dot", "v7_tele16", "v8_tele8", "v4_dma"):
+            loop, args = build(v, k, n, g, bn)
+            t = timeit(loop, *args)
+            print(f"{label} {v:10s} bn={bn}: {t*1e6:7.1f} us/call  "
+                  f"{ib/t/1e9:6.1f} GB/s-int4", flush=True)
+    raise SystemExit
 
 ROUND2 = os.environ.get("QEFT_ABL_ROUND2", "0") not in ("0", "", "false")
 if ROUND2:

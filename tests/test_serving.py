@@ -214,3 +214,39 @@ def test_engine_burst_matches_per_tick_engine():
                       SampleConfig())
     eos = int(np.asarray(ref)[0, 0])
     assert serve(4, eos=eos) == serve(1, eos=eos)
+
+
+def test_multihost_engine_single_process_degenerates_to_engine():
+    """MultiHostEngine on one process: routing accepts every request, serving
+    matches the plain Engine request-for-request, stats totals are local
+    (the 2-process half of this contract runs in
+    scripts/multihost_dryrun.py via tests/test_multihost.py)."""
+    from qeft_tpu.serving import MultiHostEngine
+
+    params = init_params(CFG, jax.random.PRNGKey(5), dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    stream = [
+        Request(request_id=i,
+                prompt=rng.integers(0, CFG.vocab_size, size=4 + (i % 2)),
+                max_new_tokens=3)
+        for i in range(4)
+    ]
+
+    mh = MultiHostEngine(params, CFG, max_batch=2, max_len=32,
+                         cache_dtype=jnp.float32)
+    assert all(mh.submit(r) for r in stream)  # 1 process owns everything
+    got = {r.request_id: list(r.output) for r in mh.run()}
+
+    ref_eng = Engine(params, CFG, max_batch=2, max_len=32,
+                     cache_dtype=jnp.float32)
+    for r in stream:
+        ref_eng.submit(Request(request_id=r.request_id, prompt=r.prompt,
+                               max_new_tokens=r.max_new_tokens))
+    ref = {r.request_id: list(r.output) for r in ref_eng.run()}
+    assert got == ref
+
+    stats = mh.stats()
+    assert stats == {
+        "requests_local": 4, "tokens_local": 12,
+        "requests_total": 4, "tokens_total": 12,
+    }
