@@ -215,6 +215,20 @@ def bench_13b() -> tuple:
 
 
 def main():
+    if os.environ.get("QEFT_BENCH_ONLY", "") == "13b":
+        # standalone 13B run honoring QEFT_BENCH_MAXLEN / QEFT_KV_DTYPE
+        # (long-context rows; the default headline path never loses its
+        # 7B metric to this mode)
+        t13, real13 = bench_13b()
+        out = {
+            "metric": "decode_tokens_per_s_per_chip_llama2_13b_w4g128r256",
+            "value": round(t13, 2), "unit": "tokens/s",
+            "max_len": MAX_LEN, "real_pipeline_ckpt_13b": bool(real13),
+        }
+        if os.environ.get("QEFT_KV_DTYPE", "").lower() == "int8":
+            out["kv_int8"] = True
+        print(json.dumps(out))
+        return
     params, cfg, real_ckpt = load_or_build()
     key = jax.random.PRNGKey(0)
     if QUANT_LMHEAD:
