@@ -24,4 +24,7 @@ run "L3 @4096 xla-attn"                QEFT_BENCH_13B=0 QEFT_BENCH_MAXLEN=4096 Q
 run "M1 13B real-ckpt"        python bench.py
 run "M2 13B int8kv@4096"      QEFT_BENCH_ONLY=13b QEFT_KV_DTYPE=int8 QEFT_BENCH_MAXLEN=4096 python bench.py
 run "M3 13B bf16kv@4096"      QEFT_BENCH_ONLY=13b QEFT_BENCH_MAXLEN=4096 python bench.py
+# fp16-baseline comparison (the reference paper's headline is speedup vs fp;
+# random init is throughput-identical)
+run "M4 fp bf16 7B decode"    python -m qeft_tpu.run_benchmark --method fp --model llama2-7b --context 64 --gen 128
 echo "--- session r5d done $(date -u +%FT%TZ) ---" >> "$LOG"
