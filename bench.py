@@ -295,10 +295,50 @@ def main():
 
     if _stacked_gemv_enabled():
         out["stacked_gemv"] = True
+    default_run = BATCH == 1 and MAX_LEN == CTX + GEN and not QUANT_LMHEAD
+    # serving-engine throughput rides the default headline run (VERDICT r4
+    # #1: the serving row must land in the driver-captured bench JSON, not
+    # only in session logs); reuses the already-loaded params, fails soft
+    if default_run and os.environ.get("QEFT_BENCH_SERVING", "1") not in (
+        "0", "", "false"
+    ):
+        try:
+            from qeft_tpu.serving import Engine, Request
+
+            rng_np = __import__("numpy").random.default_rng(0)
+            e_ctx, e_gen, e_req, e_slots, e_burst = 64, 128, 16, 8, 16
+            prompts = [
+                rng_np.integers(0, cfg.vocab_size, size=e_ctx)
+                for _ in range(e_req)
+            ]
+
+            def serve():
+                eng = Engine(params, cfg, max_batch=e_slots,
+                             max_len=e_ctx + e_gen + 1, burst=e_burst)
+                for i, pr in enumerate(prompts):
+                    eng.submit(Request(request_id=i, prompt=pr,
+                                       max_new_tokens=e_gen))
+                return eng.run()
+
+            serve()  # compile + warmup
+            best = float("inf")
+            done = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                done = serve()
+                best = min(best, time.perf_counter() - t0)
+            total = sum(len(r.output) for r in done)
+            out["engine_served_tokens_per_s"] = round(total / best, 2)
+            out["engine_config"] = (
+                f"slots={e_slots} burst={e_burst} req={e_req} "
+                f"ctx={e_ctx} gen={e_gen}"
+            )
+        except Exception as e:
+            print(f"bench: serving rider failed ({e!r})", file=sys.stderr)
     # 13B rides along on default headline runs only (not ablation configs);
     # its failure must never cost the headline
     if (
-        BATCH == 1 and MAX_LEN == CTX + GEN and not QUANT_LMHEAD
+        default_run
         and os.environ.get("QEFT_BENCH_13B", "1") not in ("0", "", "false")
     ):
         del params, cache  # free the 7B HBM footprint before the 13B build
