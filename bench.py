@@ -145,24 +145,31 @@ CKPT = os.environ.get(
 )
 
 
-def load_or_build():
-    """Real pipeline checkpoint when present, else the random builder."""
-    key = jax.random.PRNGKey(0)
-    if os.path.exists(CKPT + ".json"):
+def load_or_build(ckpt: str = None, preset: str = "llama2-7b", r: int = 128,
+                  seed: int = 0):
+    """(params, cfg, real) — the real pipeline checkpoint when present
+    (load_packed + stage fusion, the reference's load->benchmark path,
+    main.py:510), else the shape-faithful random builder.  One definition
+    serves the 7B headline and the 13B secondary so the load/fallback
+    discipline cannot drift between them."""
+    ckpt = CKPT if ckpt is None else ckpt
+    if os.path.exists(ckpt + ".json"):
         try:
             from qeft_tpu.checkpoint import load_packed
             from qeft_tpu.models.registry import get_model_meta
             from qeft_tpu.pipeline import fuse_packed_stages
 
-            params, cfg, family = load_packed(CKPT)
+            params, cfg, family = load_packed(ckpt)
             # fused qkv/upgate: fewer, larger kernel calls (+3 tok/s, BASELINE.md)
             params = fuse_packed_stages(params, get_model_meta(family))
             return params, cfg, True
         except Exception as e:  # partial write from a killed pipeline run
-            print(f"bench: checkpoint {CKPT} unusable ({e!r}); "
+            print(f"bench: checkpoint {ckpt} unusable ({e!r}); "
                   "falling back to the random builder", file=sys.stderr)
-    cfg = LLAMA_PRESETS["llama2-7b"]
-    return build_packed_model(cfg, key, fuse_stages=True), cfg, False
+    cfg = LLAMA_PRESETS[preset]
+    params = build_packed_model(cfg, jax.random.PRNGKey(seed), r=r,
+                                fuse_stages=True)
+    return params, cfg, False
 
 
 CKPT_13B = os.environ.get(
@@ -177,26 +184,7 @@ def bench_13b() -> tuple:
     load->benchmark discipline, main.py:510,310-371) and reports whether it
     rode it; the shape-faithful random builder is the fallback."""
     gen = 128
-    cfg = LLAMA_PRESETS["llama2-13b"]
-    real = False
-    params = None
-    if os.path.exists(CKPT_13B + ".json"):
-        try:
-            from qeft_tpu.checkpoint import load_packed
-            from qeft_tpu.models.registry import get_model_meta
-            from qeft_tpu.pipeline import fuse_packed_stages
-
-            params, cfg, family = load_packed(CKPT_13B)
-            params = fuse_packed_stages(params, get_model_meta(family))
-            real = True
-        except Exception as e:
-            print(f"bench: 13B checkpoint {CKPT_13B} unusable ({e!r}); "
-                  "falling back to the random builder", file=sys.stderr)
-            params = None
-    if params is None:
-        params = build_packed_model(
-            cfg, jax.random.PRNGKey(1), r=256, fuse_stages=True
-        )
+    params, cfg, real = load_or_build(CKPT_13B, "llama2-13b", r=256, seed=1)
     params = jax.device_put(params)
     prompt = jax.random.randint(
         jax.random.PRNGKey(1), (1, CTX), 0, cfg.vocab_size, jnp.int32
@@ -303,36 +291,12 @@ def main():
         "0", "", "false"
     ):
         try:
-            from qeft_tpu.serving import Engine, Request
+            from qeft_tpu.serving import measure_engine_throughput
 
-            rng_np = __import__("numpy").random.default_rng(0)
-            e_ctx, e_gen, e_req, e_slots, e_burst = 64, 128, 16, 8, 16
-            prompts = [
-                rng_np.integers(0, cfg.vocab_size, size=e_ctx)
-                for _ in range(e_req)
-            ]
-
-            def serve():
-                eng = Engine(params, cfg, max_batch=e_slots,
-                             max_len=e_ctx + e_gen + 1, burst=e_burst)
-                for i, pr in enumerate(prompts):
-                    eng.submit(Request(request_id=i, prompt=pr,
-                                       max_new_tokens=e_gen))
-                return eng.run()
-
-            serve()  # compile + warmup
-            best = float("inf")
-            done = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                done = serve()
-                best = min(best, time.perf_counter() - t0)
-            total = sum(len(r.output) for r in done)
-            out["engine_served_tokens_per_s"] = round(total / best, 2)
-            out["engine_config"] = (
-                f"slots={e_slots} burst={e_burst} req={e_req} "
-                f"ctx={e_ctx} gen={e_gen}"
+            out["engine_served_tokens_per_s"] = round(
+                measure_engine_throughput(params, cfg), 2
             )
+            out["engine_config"] = "slots=8 burst=16 req=16 ctx=64 gen=128"
         except Exception as e:
             print(f"bench: serving rider failed ({e!r})", file=sys.stderr)
     # 13B rides along on default headline runs only (not ablation configs);

@@ -123,38 +123,23 @@ def main(argv=None):
     if args.method == "engine":
         # continuous-batching serving throughput: `requests` prompts of
         # `context` tokens, `gen` new tokens each, over `batch` slots with
-        # `burst` decode ticks per host sync
-        from qeft_tpu.serving import Engine, Request
+        # `burst` decode ticks per host sync.  The measurement itself is the
+        # shared serving.measure_engine_throughput definition (bench.py's
+        # serving rider reports the same quantity).
+        from qeft_tpu.serving import measure_engine_throughput
 
         n_req = args.requests or 2 * args.batch
-        rng_np = np.random.default_rng(args.seed)
-        prompts = [
-            rng_np.integers(0, cfg.vocab_size, size=args.context)
-            for _ in range(n_req)
-        ]
-        max_len = args.context + args.gen + 1
-
-        def serve():
-            eng = Engine(params, cfg, max_batch=args.batch, max_len=max_len,
-                         sample_config=SampleConfig(greedy=not args.sample),
-                         burst=args.burst, mesh=mesh)
-            for i, p in enumerate(prompts):
-                eng.submit(Request(request_id=i, prompt=p,
-                                   max_new_tokens=args.gen))
-            return eng.run()
-
-        serve()  # compile + warmup
-        best = float("inf")
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            done = serve()
-            best = min(best, time.perf_counter() - t0)
-        total_tokens = sum(len(r.output) for r in done)
+        tps = measure_engine_throughput(
+            params, cfg, slots=args.batch, burst=args.burst,
+            requests=n_req, ctx=args.context, gen=args.gen, reps=args.reps,
+            mesh=mesh, sample_config=SampleConfig(greedy=not args.sample),
+            seed=args.seed,
+        )
         result = {
             "method": "engine", "model": args.load or args.model,
             "requests": n_req, "slots": args.batch, "burst": args.burst,
             "context": args.context, "gen": args.gen,
-            "served_tokens_per_s": round(total_tokens / best, 2),
+            "served_tokens_per_s": round(tps, 2),
         }
         if args.tp > 1:
             result["tp"] = args.tp

@@ -387,6 +387,41 @@ class Engine:
         return self.finished
 
 
+def measure_engine_throughput(
+    params, cfg: LlamaConfig, *, slots: int = 8, burst: int = 16,
+    requests: int = 16, ctx: int = 64, gen: int = 128, reps: int = 2,
+    mesh=None, sample_config: SampleConfig = SampleConfig(greedy=True),
+    seed: int = 0,
+) -> float:
+    """Served tokens/s of a fresh Engine over ``requests`` random prompts —
+    the ONE definition of the serving-throughput benchmark, called by both
+    `run_benchmark --method engine` and bench.py's serving rider so the two
+    numbers can never drift apart.  Engine construction rides inside the
+    timed region (admission + prefill are part of serving)."""
+    import time
+
+    rng = np.random.default_rng(seed)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, size=ctx) for _ in range(requests)
+    ]
+
+    def serve():
+        eng = Engine(params, cfg, max_batch=slots, max_len=ctx + gen + 1,
+                     sample_config=sample_config, burst=burst, mesh=mesh)
+        for i, p in enumerate(prompts):
+            eng.submit(Request(request_id=i, prompt=p, max_new_tokens=gen))
+        return eng.run()
+
+    serve()  # compile + warmup
+    best = float("inf")
+    done = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        done = serve()
+        best = min(best, time.perf_counter() - t0)
+    return sum(len(r.output) for r in done) / best
+
+
 class MultiHostEngine:
     """Continuous batching across HOSTS: data-parallel serving replicas over
     DCN, tensor parallelism inside each host over ICI (SURVEY §2.3 north
@@ -454,6 +489,9 @@ class MultiHostEngine:
             "tokens_local": int(local[1]),
             "requests_total": int(per_host[:, 0].sum()),
             "tokens_total": int(per_host[:, 1].sum()),
+            # global stream length this host has seen — routing sanity:
+            # requests_local should be ~routed/process_count
+            "requests_seen": self.routed,
         }
 
 

@@ -8,9 +8,13 @@ cd /root/repo
 LOG=ckpt/chip_r5_chain.log
 echo "--- chain start $(date -u +%FT%TZ) ---" >> "$LOG"
 
-# wait for r5a to finish (its 'done' line) or its process to vanish
+# wait for r5a to finish: count 'done' markers at chain start so a stale
+# line from a previous run can never satisfy the wait (the log is
+# append-only), and require either a NEW marker or the r5a process gone
+DONE0=$(grep -c "session r5a done" ckpt/chip_r5a.log 2>/dev/null || echo 0)
 for i in $(seq 1 360); do
-  if grep -q "session r5a done" ckpt/chip_r5a.log 2>/dev/null; then break; fi
+  DONE=$(grep -c "session r5a done" ckpt/chip_r5a.log 2>/dev/null || echo 0)
+  [ "$DONE" -gt "$DONE0" ] && break
   pgrep -f chip_session_r5a.sh >/dev/null 2>&1 || break
   sleep 20
 done

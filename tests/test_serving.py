@@ -249,4 +249,5 @@ def test_multihost_engine_single_process_degenerates_to_engine():
     assert stats == {
         "requests_local": 4, "tokens_local": 12,
         "requests_total": 4, "tokens_total": 12,
+        "requests_seen": 4,
     }
