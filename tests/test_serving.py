@@ -251,3 +251,17 @@ def test_multihost_engine_single_process_degenerates_to_engine():
         "requests_total": 4, "tokens_total": 12,
         "requests_seen": 4,
     }
+
+
+def test_measure_engine_throughput_serves_everything():
+    """The shared serving-benchmark definition (bench.py rider ==
+    run_benchmark --method engine) must serve requests*gen tokens and
+    return a finite positive rate."""
+    from qeft_tpu.serving import measure_engine_throughput
+
+    params = init_params(CFG, jax.random.PRNGKey(6), dtype=jnp.float32)
+    tps = measure_engine_throughput(
+        params, CFG, slots=2, burst=2, requests=3, ctx=6, gen=4, reps=1,
+        sample_config=SampleConfig(greedy=True),
+    )
+    assert tps > 0 and np.isfinite(tps)
