@@ -95,23 +95,34 @@ def llama_forward_train(params: Dict, tokens: jax.Array, cfg: LlamaConfig, remat
     Uses the serving path's `_embed` and norm numerics (gemma's embedding
     scale and (1+w) norm offset included) so training optimizes exactly the
     model that will be served."""
+    from qeft_tpu.models import llama as _llama_mod
     from qeft_tpu.models.llama import _embed
 
     b, s = tokens.shape
-    x = _embed(params, tokens, cfg)
-    pos = jnp.arange(s)[None, :]
-    cos, sin = rope_tables(cfg, pos)
-    mask = _causal_mask(s)
+    # this forward is DIFFERENTIATED (WCT trains the oweight slabs through
+    # it) and the flash pallas_call has no JVP rule — pin the XLA attention
+    # for the whole trace (trace-time only: jax.checkpoint/grad rewrite the
+    # jaxpr, they never re-run this Python)
+    prev_flash = _llama_mod._FLASH_ATTN_OVERRIDE
+    _llama_mod._FLASH_ATTN_OVERRIDE = False
+    try:
+        x = _embed(params, tokens, cfg)
+        pos = jnp.arange(s)[None, :]
+        cos, sin = rope_tables(cfg, pos)
+        mask = _causal_mask(s)
 
-    def body(xc, blk):
-        out, _, _ = llama_block(blk, xc, cfg, cos, sin, mask)
-        return out, None
+        def body(xc, blk):
+            out, _, _ = llama_block(blk, xc, cfg, cos, sin, mask)
+            return out, None
 
-    if remat:
-        body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, params["layers"])
-    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps, cfg.rms_one_offset)
-    return apply_linear(params["lm_head"], x, x.dtype)
+        if remat:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps,
+                     cfg.rms_one_offset)
+        return apply_linear(params["lm_head"], x, x.dtype)
+    finally:
+        _llama_mod._FLASH_ATTN_OVERRIDE = prev_flash
 
 
 def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:

@@ -170,12 +170,20 @@ def apply_linear(lin, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     return jnp.matmul(x.astype(lin.dtype), lin)
 
 
+# trace-time override of the flash gate (set by llama_forward_train: the
+# flash pallas_call has no JVP rule, so DIFFERENTIATED forwards must take
+# the XLA attention — the reference trains through eager HF attention too)
+_FLASH_ATTN_OVERRIDE = None
+
+
 def _flash_attn_enabled() -> bool:
     """Flash/blockwise prefill+window attention (ops/pallas_flash.py):
     default ON on TPU, where it avoids materializing the [Sq, Sk] fp32 score
     tensor (~2.1 GB at 4096-ctx 7B) and reads only the valid cache prefix;
     off on CPU (interpret-mode kernels are for opt-in tests).
     QEFT_FLASH_ATTN=1/0 forces."""
+    if _FLASH_ATTN_OVERRIDE is not None:
+        return _FLASH_ATTN_OVERRIDE
     v = os.environ.get("QEFT_FLASH_ATTN")
     if v is not None:
         return v not in ("0", "false", "off")

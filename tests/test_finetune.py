@@ -188,3 +188,22 @@ def test_wct_training_other_family():
 
     out = opt_forward(merge_wct(oweights, frozen), ids[:1], cfg)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_wct_train_step_with_flash_attn_forced(monkeypatch):
+    """Training must never route through the flash pallas_call (it has no
+    JVP rule): the on-chip default is flash ON, and round-5's first 7B WCT
+    session crashed exactly here.  llama_forward_train pins the XLA
+    attention for its trace regardless of the flash gate."""
+    monkeypatch.setenv("QEFT_FLASH_ATTN", "1")
+    packed = packed_tiny()
+    ow, frozen = split_wct(packed, META)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(2, 16)))
+
+    tc = TrainConfig(learning_rate=5e-3, total_steps=2, remat=True)
+    opt = make_optimizer(tc)
+    opt_state = opt.init(ow)
+    step = make_train_step(CFG, opt, remat=True)
+    ow, opt_state, loss = step(ow, opt_state, frozen, ids, ids)
+    assert np.isfinite(float(loss))
