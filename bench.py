@@ -146,22 +146,34 @@ CKPT = os.environ.get(
 
 
 def load_or_build(ckpt: str = None, preset: str = "llama2-7b", r: int = 128,
-                  seed: int = 0):
+                  seed: int = 0, host_load: bool = False):
     """(params, cfg, real) — the real pipeline checkpoint when present
     (load_packed + stage fusion, the reference's load->benchmark path,
     main.py:510), else the shape-faithful random builder.  One definition
     serves the 7B headline and the 13B secondary so the load/fallback
-    discipline cannot drift between them."""
+    discipline cannot drift between them.
+
+    ``host_load``: stage load + fusion on the host CPU backend and transfer
+    ONCE.  Loading then fusing on-device holds original AND fused copies
+    transiently (~2x the packed bytes) — at 13B that is ~17 GB and OOMs the
+    16 GB chip (observed r5d M1: RESOURCE_EXHAUSTED), while the fused tree
+    alone (8.5 GB) fits comfortably."""
     ckpt = CKPT if ckpt is None else ckpt
     if os.path.exists(ckpt + ".json"):
         try:
             from qeft_tpu.checkpoint import load_packed
             from qeft_tpu.models.registry import get_model_meta
             from qeft_tpu.pipeline import fuse_packed_stages
+            import contextlib
 
-            params, cfg, family = load_packed(ckpt)
-            # fused qkv/upgate: fewer, larger kernel calls (+3 tok/s, BASELINE.md)
-            params = fuse_packed_stages(params, get_model_meta(family))
+            stage = (
+                jax.default_device(jax.devices("cpu")[0])
+                if host_load else contextlib.nullcontext()
+            )
+            with stage:
+                params, cfg, family = load_packed(ckpt)
+                # fused qkv/upgate: fewer, larger kernel calls (BASELINE.md)
+                params = fuse_packed_stages(params, get_model_meta(family))
             return params, cfg, True
         except Exception as e:  # partial write from a killed pipeline run
             print(f"bench: checkpoint {ckpt} unusable ({e!r}); "
@@ -184,7 +196,8 @@ def bench_13b() -> tuple:
     load->benchmark discipline, main.py:510,310-371) and reports whether it
     rode it; the shape-faithful random builder is the fallback."""
     gen = 128
-    params, cfg, real = load_or_build(CKPT_13B, "llama2-13b", r=256, seed=1)
+    params, cfg, real = load_or_build(CKPT_13B, "llama2-13b", r=256, seed=1,
+                                      host_load=True)
     params = jax.device_put(params)
     prompt = jax.random.randint(
         jax.random.PRNGKey(1), (1, CTX), 0, cfg.vocab_size, jnp.int32

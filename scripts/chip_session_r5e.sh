@@ -19,4 +19,9 @@ run() {
 
 run "O1 13B recovered oracle"  python scripts/oracle_from_packed.py "$CKPT" 512 4
 run "O2 13B reload benchmark"  python -m qeft_tpu.main llama2-13b synthetic --load "$CKPT" --eval --eval_windows 4 --seqlen 512 --benchmark 256 --logfile ckpt/quant13b.log
+# 13B bench legs rerun with the host-staged load (r5d M1/M2/M3 OOMed the
+# chip loading+fusing on-device)
+run "O3 13B real-ckpt bench"   QEFT_BENCH_ONLY=13b python bench.py
+run "O4 13B int8kv@4096"       QEFT_BENCH_ONLY=13b QEFT_KV_DTYPE=int8 QEFT_BENCH_MAXLEN=4096 python bench.py
+run "O5 full default bench"    python bench.py
 echo "--- session r5e done $(date -u +%FT%TZ) ---" >> "$LOG"
