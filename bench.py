@@ -198,7 +198,11 @@ def bench_13b() -> tuple:
     gen = 128
     params, cfg, real = load_or_build(CKPT_13B, "llama2-13b", r=256, seed=1,
                                       host_load=True)
-    params = jax.device_put(params)
+    # EXPLICIT target: host-staged arrays are committed to the CPU device,
+    # and device_put(None) is identity for committed arrays — without the
+    # target the 13B decode re-streams every weight over the relay per step
+    # (measured 0.37 tok/s, r5d M3)
+    params = jax.device_put(params, jax.devices()[0])
     prompt = jax.random.randint(
         jax.random.PRNGKey(1), (1, CTX), 0, cfg.vocab_size, jnp.int32
     )
