@@ -103,7 +103,11 @@ def main(argv=None):
             "window forward; plain methods dispatch to any family"
         )
     elif args.method == "fp":
-        params = init_params(cfg, key, dtype=jnp.bfloat16)
+        # host-staged init: device-side random init materializes fp32
+        # intermediates (~2x the bf16 tree) and OOMs the 16 GB chip at 7B
+        # (r5d M4); build on host, transfer the bf16 tree once below
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = init_params(cfg, key, dtype=jnp.bfloat16)
     else:
         params = build_packed_model(cfg, key, fuse_stages=args.fuse_stages)
     mesh = None
@@ -118,7 +122,9 @@ def main(argv=None):
                          devices=jax.devices()[: args.tp])
         params = tp_shard_packed_params(params, mesh, cfg)
     else:
-        params = jax.device_put(params)
+        # explicit target: host-staged (CPU-committed) trees are NOT moved
+        # by device_put(None)
+        params = jax.device_put(params, jax.devices()[0])
 
     if args.method == "engine":
         # continuous-batching serving throughput: `requests` prompts of

@@ -25,3 +25,5 @@ run "O3 13B real-ckpt bench"   QEFT_BENCH_ONLY=13b python bench.py
 run "O4 13B int8kv@4096"       QEFT_BENCH_ONLY=13b QEFT_KV_DTYPE=int8 QEFT_BENCH_MAXLEN=4096 python bench.py
 run "O5 full default bench"    python bench.py
 echo "--- session r5e done $(date -u +%FT%TZ) ---" >> "$LOG"
+run "O6 fp bf16 7B decode"     python -m qeft_tpu.run_benchmark --method fp --model llama2-7b --context 64 --gen 128
+echo "--- session r5e really done $(date -u +%FT%TZ) ---" >> "$LOG"
