@@ -41,31 +41,39 @@ from qeft_tpu.ops.packing import QLinearParams, dequantize_weight
 
 
 def fake_from_packed(params: dict) -> dict:
-    """Dense fake-reconstruction params from a packed (stacked-leaf) tree."""
+    """Dense fake-reconstruction params from a packed (stacked-leaf) tree.
+
+    Every output leaf stays a HOST numpy array (at 13B the dense tree is
+    ~26 GB — far over HBM; `eval_ppl_streamed` transfers one block at a
+    time), and the dequant math runs on the CPU backend."""
+    cpu = jax.devices("cpu")[0]
     layers = {}
-    for name, leaf in params["layers"].items():
-        if not isinstance(leaf, QLinearParams):
-            layers[name] = leaf
-            continue
-        l_count = leaf.qweight.shape[0]
-        per = []
-        for l in range(l_count):  # layer-at-a-time: bounds host temp to one W
-            one = QLinearParams(
-                qweight=leaf.qweight[l], scales=leaf.scales[l],
-                scaled_zeros=leaf.scaled_zeros[l],
-                oweight=None if leaf.oweight is None else leaf.oweight[l],
-                bias=None, group_size=leaf.group_size,
-            )
-            w = dequantize_weight(one)  # [K, N] bf16, outlier rows 0
-            if one.oweight is not None:
-                r = one.oweight.shape[0]
-                w = w.at[w.shape[0] - r :, :].set(
-                    one.oweight.astype(w.dtype)
+    with jax.default_device(cpu):
+        for name, leaf in params["layers"].items():
+            if not isinstance(leaf, QLinearParams):
+                layers[name] = np.asarray(leaf)
+                continue
+            l_count = leaf.qweight.shape[0]
+            per = []
+            for l in range(l_count):  # layer-at-a-time: bounds the temp
+                one = QLinearParams(
+                    qweight=jnp.asarray(np.asarray(leaf.qweight[l])),
+                    scales=jnp.asarray(np.asarray(leaf.scales[l])),
+                    scaled_zeros=jnp.asarray(np.asarray(leaf.scaled_zeros[l])),
+                    oweight=None if leaf.oweight is None
+                    else jnp.asarray(np.asarray(leaf.oweight[l])),
+                    bias=None, group_size=leaf.group_size,
                 )
-            per.append(np.asarray(w))
-        layers[name] = jnp.asarray(np.stack(per))
-        if leaf.bias is not None:
-            layers[name + "_bias"] = leaf.bias
+                w = dequantize_weight(one)  # [K, N] bf16, outlier rows 0
+                if one.oweight is not None:
+                    r = one.oweight.shape[0]
+                    w = w.at[w.shape[0] - r :, :].set(
+                        one.oweight.astype(w.dtype)
+                    )
+                per.append(np.asarray(w))
+            layers[name] = np.stack(per)
+            if leaf.bias is not None:
+                layers[name + "_bias"] = np.asarray(leaf.bias)
     return {**params, "layers": layers}
 
 
@@ -74,7 +82,10 @@ def main():
     seqlen = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     windows = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
-    packed, cfg, family = load_packed(path)
+    # host-staged: the packed tree (8.5 GB at 13B) must not sit in HBM while
+    # the dense fake (26 GB) streams through block-wise
+    with jax.default_device(jax.devices("cpu")[0]):
+        packed, cfg, family = load_packed(path)
     meta = get_model_meta(family)
     test = get_loaders("synthetic", train=False, vocab_size=cfg.vocab_size)
 
@@ -87,10 +98,10 @@ def main():
         ppl_fake = eval_ppl(fake, test, cfg, seqlen=seqlen,
                             max_windows=windows)
     del fake
-    print(f"fake (from packed) ppl: {ppl_fake:.4f}")
+    print(f"fake (from packed) ppl: {ppl_fake:.4f}", flush=True)
 
     if jax.default_backend() == "tpu":
-        packed = jax.device_put(packed)
+        packed = jax.device_put(packed, jax.devices()[0])
     ppl_packed = eval_ppl(packed, test, cfg, seqlen=seqlen,
                           max_windows=windows)
     delta = abs(ppl_packed - ppl_fake) / max(ppl_fake, 1e-9)
