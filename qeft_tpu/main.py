@@ -48,6 +48,7 @@ def main():
     parser.add_argument("--logfile", type=str, default="")
     args = parser.parse_args()
 
+    import jax
     import jax.numpy as jnp  # noqa: F401 (used by --benchmark block)
 
     from qeft_tpu.models.registry import get_model_meta
@@ -55,19 +56,36 @@ def main():
     results = {}
 
     if args.load:
+        import contextlib
+
         from qeft_tpu.checkpoint import load_model as load_ckpt
 
-        # family rides the checkpoint manifest — OPT ckpts load as OPT
-        params, cfg, family = load_ckpt(args.load)
-        meta = get_model_meta(family)
-        quantizers = None
-        if any(hasattr(l, "qweight") for l in params["layers"].values()):
-            # packed checkpoint: serve through the fused fast path exactly
-            # like bench.py's production load (same math; fewer, larger
-            # kernel calls — the unfused reload benchmark ran ~6% slower)
-            from qeft_tpu.pipeline import fuse_packed_stages
+        # host-stage load + fusion, then transfer ONCE: loading and fusing
+        # on-device holds original + fused copies transiently (~2x the
+        # packed bytes), which OOMs the 16 GB chip at 13B (r5e O2)
+        stage = (
+            jax.default_device(jax.devices("cpu")[0])
+            if jax.default_backend() == "tpu" else contextlib.nullcontext()
+        )
+        with stage:
+            # family rides the checkpoint manifest — OPT ckpts load as OPT
+            params, cfg, family = load_ckpt(args.load)
+            meta = get_model_meta(family)
+            quantizers = None
+            if any(hasattr(l, "qweight") for l in params["layers"].values()):
+                # packed checkpoint: serve through the fused fast path
+                # exactly like bench.py's production load (same math; fewer,
+                # larger kernel calls — unfused reload ran ~6% slower)
+                from qeft_tpu.pipeline import fuse_packed_stages
 
-            params = fuse_packed_stages(params, meta)
+                params = fuse_packed_stages(params, meta)
+        tree_bytes = sum(
+            l.size * l.dtype.itemsize for l in jax.tree.leaves(params)
+        )
+        if jax.default_backend() == "tpu" and tree_bytes < 10e9:
+            # fits HBM whole: one transfer, direct eval/benchmark; larger
+            # trees stay host-side for the layer-streamed eval
+            params = jax.device_put(params, jax.devices()[0])
         import os as _os
 
         if _os.environ.get("QEFT_QUANT_LMHEAD", "0") not in ("0", "", "false") \
@@ -150,10 +168,19 @@ def main():
         # models too big to sit whole in HBM next to the eval compute stream
         # one block at a time (the reference's eval is layer-streamed too,
         # main.py:195-308); packed models are ~4x smaller and eval jitted
+        def on_host(tree):
+            leaf = jax.tree.leaves(tree)[0]
+            if not hasattr(leaf, "devices"):
+                return True  # numpy
+            return all(d.platform == "cpu" for d in leaf.devices())
+
+        # stream only HOST-resident big trees; a device-resident tree (the
+        # --load path transfers anything <10 GB whole) evals directly
         stream_eval = (
             jax.default_backend() == "tpu"
             and meta.family in ("llama", "gemma")
             and tree_gb(params) > 6.0
+            and on_host(params)
         )
 
         if packed is not None and jax.default_backend() == "tpu":
